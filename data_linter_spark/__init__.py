@@ -1,0 +1,29 @@
+"""data_linter_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch re-expression of the capabilities of
+``moj-analytical-services/data_linter`` (reference at /root/reference, v6.3.3)
+on top of the Spark DataFrame API:
+
+- mojap-style external JSON schemas (``metadata.Metadata``)
+- the seven column constraint predicates (min/max, length, pattern, enum,
+  nullable, date/datetime format) compiled into a SINGLE fused ``df.agg`` pass
+  (``compiler.ConstraintPlan``) instead of the reference's seven sequential
+  pandas column scans (reference: data_linter/validators/pandas_validator.py:88-96)
+- ``ValidatorResult``-compatible response dicts
+  (reference: data_linter/validators/base.py:9-102)
+- checks the reference declares but never implemented (uniqueness,
+  reference: tests/data/inputs/basic_meta_data.json:13), plus referential
+  integrity and distribution drift, as separate composable stages
+- pass/fail routing + per-table JSON verdict logs
+  (reference: data_linter/validation.py:498-649)
+- a per-partition checkpoint manifest giving resumability the reference's
+  para_* protocol lacks (reference: data_linter/validation.py:652-775)
+- large-scale training-data ops: dedup (exact/minhash/simhash/ngram/embedding),
+  ANN similarity search, text analysis, multimodal plumbing.
+"""
+
+__version__ = "0.1.0"
+
+from data_linter_spark.metadata import Metadata  # noqa: F401
+from data_linter_spark.response import ValidatorResult  # noqa: F401
+from data_linter_spark.validator import SparkValidator  # noqa: F401

@@ -1,0 +1,1 @@
+from data_linter_spark.checks.column import ConstraintSpec, build_column_specs  # noqa: F401

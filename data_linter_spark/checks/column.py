@@ -1,0 +1,290 @@
+"""Column constraint predicates as Spark Column expressions.
+
+Each constraint is expressed as an *out-of-bounds* boolean expression over the
+source column — exactly the shape of the reference's boolean masks
+(reference data_linter/validators/pandas_validator.py:210-339) — evaluated in
+ONE fused aggregation pass by the compiler instead of seven sequential scans.
+
+Null-semantics parity with pandas (the top correctness risk, SURVEY.md §7):
+
+==================  =========================================================
+test                null handling (must match reference exactly)
+==================  =========================================================
+min_max             nulls are NOT violations (pandas NA comparison -> NA,
+                    dropped by ``.any()``; Spark ``null < x`` -> null, dropped
+                    by ``F.when(cond, 1).otherwise(0)``) — free parity
+min_max_length      same
+pattern             nulls NOT violations (pandas ``str.match`` propagates NA;
+                    reference tests/test_pandas_validator.py:173-190) — and
+                    pandas ``str.match`` anchors at START ONLY, so the Spark
+                    regex is wrapped ``^(?:pat)`` (``rlike`` is unanchored)
+enum, nullable col  nulls valid (``col.fillna(enum[0]).isin(enum)``,
+                    pandas_validator.py:265-266)
+enum, non-nullable  nulls ARE violations (pandas ``isin`` returns False for
+                    NaN -> ``~False`` = True, pandas_validator.py:268) —
+                    Spark needs an explicit ``| col.isNull()``
+nullable            nulls are violations (``col.isnull()``)
+date/datetime fmt   null AND empty string are valid
+                    (pandas_validator.py:324-325)
+==================  =========================================================
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DATE_FORMAT = "%Y-%m-%d"  # pandas_validator.py:21
+DEFAULT_DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"  # pandas_validator.py:22
+
+# fixed test order mirrors the reference's validate_col
+# (pandas_validator.py:88-96)
+TEST_ORDER = [
+    "min_max_test",
+    "min_max_length_test",
+    "pattern_test",
+    "enum_test",
+    "nullable_test",
+    "datetime_format_test",
+    "date_format_test",
+]
+
+
+@dataclass
+class ConstraintSpec:
+    """One (column, test) pair compiled to an out-of-bounds expression."""
+
+    col_name: str
+    test_name: str
+    test_inputs: dict[str, Any]
+    oob: Column  # boolean: True = this row violates; null/False = fine
+    # counter alias in the fused agg row
+    alias: str = field(init=False)
+
+    def __post_init__(self):
+        self.alias = f"__viol__{self.col_name}__{self.test_name}"
+
+    def agg_expr(self) -> Column:
+        """Violation counter: null oob -> not a violation (matches pandas
+        ``mask.any()`` NA semantics)."""
+        return F.sum(F.when(self.oob, F.lit(1)).otherwise(F.lit(0))).alias(self.alias)
+
+
+# ---------------------------------------------------------------------------
+# strptime -> Spark (java.time) datetime pattern translation
+# ---------------------------------------------------------------------------
+
+_STRPTIME_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%j": "DDD",
+    "%%": "'%'",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    """Translate a strptime format (e.g. ``%d/%m/%Y``) to a Spark/java.time
+    pattern (``dd/MM/yyyy``). Literal letters are single-quoted so java.time
+    does not treat them as pattern characters."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok not in _STRPTIME_MAP:
+                raise ValueError(f"unsupported strptime directive {tok!r} in {fmt!r}")
+            out.append(_STRPTIME_MAP[tok])
+            i += 2
+        else:
+            ch = fmt[i]
+            if re.match(r"[A-Za-z]", ch):
+                out.append(f"'{ch}'")
+            elif ch == "'":
+                out.append("''")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# out-of-bounds expression builders (one per reference test)
+# ---------------------------------------------------------------------------
+
+
+def _bounds_oob(value: Column, mi, ma, col_name: str) -> Column:
+    """(value < mi) | (value > ma) with the reference's raise-if-neither rule
+    (_get_min_max_series_out_of_bounds_col, pandas_validator.py:385-397)."""
+    if mi is not None and ma is None:
+        return value < F.lit(mi)
+    if ma is not None and mi is None:
+        return value > F.lit(ma)
+    if mi is not None and ma is not None:
+        return (value < F.lit(mi)) | (value > F.lit(ma))
+    raise ValueError(f"invalid min/max values for column: {col_name}")
+
+
+def min_max_oob(col: Column, meta_col: dict, dtype: T.DataType) -> Column:
+    """reference _min_max_test (pandas_validator.py:210-222).
+
+    Graft extension: on an ``array`` column the bounds apply to the ELEMENTS
+    (any element out of bounds -> row violates), via array_min/array_max —
+    SURVEY.md §1.4."""
+    mi, ma = meta_col.get("minimum"), meta_col.get("maximum")
+    name = meta_col["name"]
+    if isinstance(dtype, T.ArrayType):
+        if mi is not None and ma is None:
+            return F.array_min(col) < F.lit(mi)
+        if ma is not None and mi is None:
+            return F.array_max(col) > F.lit(ma)
+        if mi is not None and ma is not None:
+            return (F.array_min(col) < F.lit(mi)) | (F.array_max(col) > F.lit(ma))
+        raise ValueError(f"invalid min/max values for column: {name}")
+    return _bounds_oob(col, mi, ma, name)
+
+
+def min_max_length_oob(col: Column, meta_col: dict, dtype: T.DataType) -> Column:
+    """reference _min_max_length_test (pandas_validator.py:225-237);
+    ``F.size`` for array columns (the tokens table), ``F.length`` for strings."""
+    mil, mal = meta_col.get("minLength"), meta_col.get("maxLength")
+    if isinstance(dtype, T.ArrayType):
+        # F.size(null) is -1 under legacy sizeOfNull; nulls must NOT violate
+        length = F.when(col.isNotNull(), F.size(col))
+    else:
+        length = F.length(col)
+    return _bounds_oob(length, mil, mal, meta_col["name"])
+
+
+def pattern_oob(col: Column, meta_col: dict) -> Column:
+    """reference _pattern_test (pandas_validator.py:240-252); anchored at
+    start like pandas ``str.match``; nulls propagate to null (not counted)."""
+    pattern = meta_col["pattern"]
+    return ~col.rlike(f"^(?:{pattern})")
+
+
+def enum_oob(col: Column, meta_col: dict) -> Column:
+    """reference _enum_test (pandas_validator.py:255-270)."""
+    enum = meta_col["enum"]
+    if meta_col.get("nullable", True):
+        # nulls valid: null.isin(...) -> null -> not counted
+        return ~col.isin(enum)
+    # non-nullable: nulls ARE violations (pandas isin(NaN) -> False)
+    return (~col.isin(enum)) | col.isNull()
+
+
+def nullable_oob(col: Column) -> Column:
+    """reference _nullable_test (pandas_validator.py:273-286)."""
+    return col.isNull()
+
+
+def _parse_ok(col: Column, spark_fmt: str) -> Column:
+    return F.try_to_timestamp(col, F.lit(spark_fmt))
+
+
+def datetime_format_oob(col: Column, meta_col: dict) -> Column:
+    """reference _datetime_format_test (pandas_validator.py:305-318):
+    null / empty string valid; otherwise strptime must parse."""
+    fmt = meta_col.get("datetime_format", DEFAULT_DATETIME_FORMAT)
+    spark_fmt = strptime_to_spark(fmt)
+    return col.isNotNull() & (col != F.lit("")) & _parse_ok(col, spark_fmt).isNull()
+
+
+def date_format_oob(col: Column, meta_col: dict) -> Column:
+    """reference _date_format_test (pandas_validator.py:289-302) + the
+    midnight rule (_check_no_time_component_in_expected_date, :337-339)."""
+    fmt = meta_col.get("datetime_format", DEFAULT_DATE_FORMAT)
+    spark_fmt = strptime_to_spark(fmt)
+    parsed = _parse_ok(col, spark_fmt)
+    bad_parse = parsed.isNull()
+    not_midnight = parsed != F.date_trunc("DAY", parsed)
+    return (
+        col.isNotNull()
+        & (col != F.lit(""))
+        & (bad_parse | F.coalesce(not_midnight, F.lit(False)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch: metadata -> list[ConstraintSpec]
+# ---------------------------------------------------------------------------
+
+
+def build_column_specs(
+    meta_col: dict, dtype: Optional[T.DataType]
+) -> list[ConstraintSpec]:
+    """Decide which tests run for a column — mirrors the reference's
+    ``check_run_validation_for_meta`` decorator gates
+    (pandas_validator.py:141-207). ``dtype`` is the ACTUAL Spark type of the
+    source column (date/datetime format tests only run on string-typed
+    columns, pandas_validator.py:179-200)."""
+    name = meta_col["name"]
+    col = F.col(name)
+    col_is_str = isinstance(dtype, T.StringType) if dtype is not None else True
+    specs: list[ConstraintSpec] = []
+
+    def add(test_name: str, test_inputs: dict, oob: Column) -> None:
+        specs.append(ConstraintSpec(name, test_name, test_inputs, oob))
+
+    if "minimum" in meta_col or "maximum" in meta_col:
+        add(
+            "min_max_test",
+            {
+                "column": name,
+                "minimum_value": meta_col.get("minimum"),
+                "maximum_value": meta_col.get("maximum"),
+            },
+            min_max_oob(col, meta_col, dtype),
+        )
+    if "minLength" in meta_col or "maxLength" in meta_col:
+        add(
+            "min_max_length_test",
+            {
+                "column": name,
+                "minimum_length": meta_col.get("minLength"),
+                "maximum_length": meta_col.get("maxLength"),
+            },
+            min_max_length_oob(col, meta_col, dtype),
+        )
+    if "pattern" in meta_col:
+        add(
+            "pattern_test",
+            {"column": name, "regex": meta_col["pattern"]},
+            pattern_oob(col, meta_col),
+        )
+    if "enum" in meta_col:
+        add("enum_test", {"column": name}, enum_oob(col, meta_col))
+    if meta_col.get("nullable") is not None and not meta_col.get("nullable"):
+        add("nullable_test", {"column": name}, nullable_oob(col))
+    mtype = meta_col.get("type", "")
+    if mtype.startswith("timestamp") and col_is_str:
+        fmt = meta_col.get("datetime_format", DEFAULT_DATETIME_FORMAT)
+        add(
+            "datetime_format_test",
+            {"column": name, "datetime_format": fmt},
+            datetime_format_oob(col, meta_col),
+        )
+    if mtype.startswith("date") and col_is_str:
+        fmt = meta_col.get("datetime_format", DEFAULT_DATE_FORMAT)
+        add(
+            "date_format_test",
+            {"column": name, "datetime_format": fmt},
+            date_format_oob(col, meta_col),
+        )
+    return specs

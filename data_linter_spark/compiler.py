@@ -1,0 +1,162 @@
+"""Constraint compiler: metadata -> one fused aggregation plan.
+
+The reference evaluates seven tests per column as sequential pandas scans
+(reference data_linter/validators/pandas_validator.py:84-96). Here ALL
+requested (column, test) pairs compile into a SINGLE ``df.agg(...)`` —
+one whole-stage-codegen'd scan over the table regardless of how many
+constraints are declared. Violation-row samples are extracted in a narrow
+second pass that only runs for tests that actually failed.
+
+At 100 TB this matters: the verdict pass is one shuffle-free map + partial/
+final aggregate; Catalyst prunes the scan to exactly the referenced columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.checks.column import ConstraintSpec, build_column_specs
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.response import ValidatorResult
+
+TOTAL_ALIAS = "__total_rows"
+ROW_ID_COL = "__row_id"
+
+
+class ConstraintPlan:
+    """Compiled verdict plan for one table."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        metadata: Metadata,
+        log_verbosity: Optional[int] = None,
+        row_id_col: Optional[str] = None,
+    ):
+        self.df = df
+        self.metadata = metadata
+        self.log_verbosity = log_verbosity
+        self.row_id_col = row_id_col
+        dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+        self.specs: list[ConstraintSpec] = []
+        for meta_col in metadata.columns:
+            name = meta_col["name"]
+            if name not in dtypes:
+                continue  # alignment layer has already decided what to do
+            self.specs.extend(build_column_specs(meta_col, dtypes[name]))
+
+    # -- the single-pass verdict aggregation --------------------------
+    def agg_exprs(self) -> list:
+        return [F.count(F.lit(1)).alias(TOTAL_ALIAS)] + [
+            s.agg_expr() for s in self.specs
+        ]
+
+    def verdict_df(self) -> DataFrame:
+        """Lazy one-row DataFrame of violation counters (inspectable with
+        ``.explain``)."""
+        return self.df.agg(*self.agg_exprs())
+
+    def grouped_verdict_df(self, group_cols: list[str]) -> DataFrame:
+        """Per-partition verdict counters — one row per group (the graft's
+        per-Iceberg-partition verdicts, SURVEY.md §3.3)."""
+        return self.df.groupBy(*group_cols).agg(*self.agg_exprs())
+
+    # -- execution ----------------------------------------------------
+    def run(self, response: Optional[ValidatorResult] = None) -> ValidatorResult:
+        """Execute the fused pass and fill a ValidatorResult with the exact
+        response shape of the reference (_fill_res_dict,
+        pandas_validator.py:352-382)."""
+        response = response or ValidatorResult()
+        if not self.specs:
+            return response
+        row = self.verdict_df().collect()[0].asDict()
+        return self.fill_from_row(row, response)
+
+    def fill_from_row(
+        self, row: dict, response: Optional[ValidatorResult] = None
+    ) -> ValidatorResult:
+        """Fill a ValidatorResult from an already-collected counter row (lets
+        the caller fold extra counters — e.g. cast conformance — into the
+        same single aggregation pass)."""
+        response = response or ValidatorResult()
+        if not self.specs:
+            return response
+        total = row[TOTAL_ALIAS]
+
+        failing: list[ConstraintSpec] = []
+        results: dict[str, dict[str, Any]] = {}
+        for spec in self.specs:
+            n_viol = row[spec.alias] or 0
+            res: dict[str, Any] = {
+                "valid": n_viol == 0,
+                "test_inputs": dict(spec.test_inputs),
+            }
+            if n_viol:
+                res["percentage_of_column_is_error"] = (
+                    (n_viol / total * 100) if total else 0.0
+                )
+                failing.append(spec)
+            results[spec.alias] = res
+
+        if failing and self.log_verbosity is not None:
+            samples = self._violation_samples(failing)
+            for spec in failing:
+                idx, vals = samples[spec.alias]
+                results[spec.alias]["unexpected_index_sample"] = idx
+                results[spec.alias]["unexpected_values_sample"] = vals
+
+        for spec in self.specs:
+            response.add_test_to_col(
+                spec.col_name, spec.test_name, results[spec.alias]
+            )
+        return response
+
+    def _violation_samples(
+        self, failing: list[ConstraintSpec]
+    ) -> dict[str, tuple[list, list]]:
+        """Narrow second pass: ONE scan computes every failing test's oob
+        flag; rows violating anything are kept, then sampled per test
+        driver-side. reference: index/value sampling in _fill_res_dict
+        (pandas_validator.py:358-380); sampling here is deterministic
+        (first-k in row order) rather than pandas' random ``.sample`` —
+        recorded divergence (SURVEY.md §7), reference tests assert only
+        counts/validity."""
+        n = self.log_verbosity
+        df = self.df
+        if self.row_id_col and self.row_id_col in df.columns:
+            rid = F.col(self.row_id_col)
+        else:
+            rid = F.monotonically_increasing_id()
+        flags = [spec.oob.alias(spec.alias) for spec in failing]
+        values = {}
+        for spec in failing:
+            if spec.col_name not in values:
+                values[spec.col_name] = F.col(spec.col_name).cast("string").alias(
+                    f"__val__{spec.col_name}"
+                )
+        sel = df.select(rid.alias(ROW_ID_COL), *flags, *values.values())
+        any_oob = None
+        for spec in failing:
+            c = F.coalesce(F.col(spec.alias), F.lit(False))
+            any_oob = c if any_oob is None else (any_oob | c)
+        sel = sel.filter(any_oob)
+        # n == 0 -> ALL violations (reference log_verbosity==0 semantics)
+        per_test_cap = None if n == 0 else n
+        out: dict[str, tuple[list, list]] = {s.alias: ([], []) for s in failing}
+        rows = (
+            sel.collect()
+            if per_test_cap is None
+            else sel.limit(per_test_cap * max(1, len(failing)) * 4).collect()
+        )
+        for r in rows:
+            d = r.asDict()
+            for spec in failing:
+                if d.get(spec.alias):
+                    idx, vals = out[spec.alias]
+                    if per_test_cap is None or len(idx) < per_test_cap:
+                        idx.append(d[ROW_ID_COL])
+                        vals.append(d[f"__val__{spec.col_name}"])
+        return out

@@ -1,0 +1,181 @@
+"""mojap-style table metadata model.
+
+Re-implements, from scratch, the subset of the public ``mojap-metadata``
+standard that the reference consumes (see reference
+data_linter/validators/pandas_validator.py:141-207 for the consumed keys and
+reference tests/data/**/meta_data/*.json for the shape).
+
+A metadata document is::
+
+    {
+      "name": "table1",
+      "file_format": "csv",
+      "columns": [
+        {"name": "my_int", "type": "int64", "nullable": false,
+         "minimum": 10, "maximum": 100, "unique": true,
+         "minLength": 1, "maxLength": 4, "pattern": "^a", "enum": [...],
+         "datetime_format": "%d/%m/%Y",
+         "references": {"table": "orders", "column": "o_orderkey"}},
+        ...
+      ],
+      "partitions": ["source"]
+    }
+
+``references`` and ``drift`` are graft extensions (the reference declares
+``unique`` in its metadata spec but never implements it —
+reference tests/data/inputs/basic_meta_data.json:13 and SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Union
+
+from pyspark.sql import types as T
+
+# arrow-ish type string -> (Spark type, type_category)
+# reference type strings observed across tests/data/**/meta_data/*.json
+_TYPE_MAP: dict[str, tuple[T.DataType, str]] = {
+    "int8": (T.ByteType(), "integer"),
+    "int16": (T.ShortType(), "integer"),
+    "int32": (T.IntegerType(), "integer"),
+    "int64": (T.LongType(), "integer"),
+    "uint8": (T.ShortType(), "integer"),
+    "uint16": (T.IntegerType(), "integer"),
+    "uint32": (T.LongType(), "integer"),
+    "uint64": (T.LongType(), "integer"),
+    "float16": (T.FloatType(), "float"),
+    "float32": (T.FloatType(), "float"),
+    "float64": (T.DoubleType(), "float"),
+    "decimal128": (T.DecimalType(38, 18), "float"),
+    "bool_": (T.BooleanType(), "boolean"),
+    "bool": (T.BooleanType(), "boolean"),
+    "string": (T.StringType(), "string"),
+    "utf8": (T.StringType(), "string"),
+    "large_string": (T.StringType(), "string"),
+    "binary": (T.BinaryType(), "binary"),
+    "date32": (T.DateType(), "timestamp"),
+    "date64": (T.DateType(), "timestamp"),
+    "list<int32>": (T.ArrayType(T.IntegerType()), "list"),
+    "list<int64>": (T.ArrayType(T.LongType()), "list"),
+    "list<float32>": (T.ArrayType(T.FloatType()), "list"),
+    "list<float64>": (T.ArrayType(T.DoubleType()), "list"),
+    "list<string>": (T.ArrayType(T.StringType()), "list"),
+}
+
+
+def arrow_type_to_spark(type_str: str) -> T.DataType:
+    """Map an arrow-ish metadata type string to a Spark DataType."""
+    if type_str in _TYPE_MAP:
+        return _TYPE_MAP[type_str][0]
+    if type_str.startswith("timestamp"):
+        return T.TimestampType()
+    if type_str.startswith("decimal128"):
+        return T.DecimalType(38, 18)
+    raise ValueError(f"unsupported metadata type: {type_str!r}")
+
+
+def type_category_of(type_str: str) -> str:
+    """Derive type_category the way the reference's
+    ``set_col_type_category_from_types`` does (consumed at reference
+    data_linter/validation.py:409)."""
+    if type_str in _TYPE_MAP:
+        return _TYPE_MAP[type_str][1]
+    if type_str.startswith("timestamp") or type_str.startswith("date"):
+        return "timestamp"
+    if type_str.startswith("decimal"):
+        return "float"
+    if type_str.startswith("list"):
+        return "list"
+    raise ValueError(f"unsupported metadata type: {type_str!r}")
+
+
+class Metadata:
+    """Table metadata: name, file_format, columns, partitions."""
+
+    def __init__(self, meta_dict: dict[str, Any]):
+        if not isinstance(meta_dict, dict):
+            raise TypeError("metadata must be a dict")
+        if "file_format" not in meta_dict:
+            # parity: reference requires file_format
+            # (data_linter/validators/base.py:40-41)
+            raise ValueError("metadata given must have a file_format property")
+        self._d = json.loads(json.dumps(meta_dict))  # deep copy
+        self._d.setdefault("columns", [])
+        self._d.setdefault("partitions", [])
+
+    # -- constructors -------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "Metadata":
+        return cls(d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Metadata":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    @classmethod
+    def from_infer(cls, obj: Union[dict, str, "Metadata"]) -> "Metadata":
+        if isinstance(obj, Metadata):
+            return cls(obj.to_dict())
+        if isinstance(obj, dict):
+            return cls.from_dict(obj)
+        if isinstance(obj, str) and os.path.exists(obj):
+            return cls.from_json(obj)
+        raise TypeError(f"cannot infer metadata from {type(obj)}")
+
+    # -- accessors ----------------------------------------------------
+    @property
+    def name(self) -> Optional[str]:
+        return self._d.get("name")
+
+    @property
+    def file_format(self) -> str:
+        return self._d["file_format"]
+
+    @property
+    def columns(self) -> list[dict]:
+        return self._d["columns"]
+
+    @property
+    def partitions(self) -> list[str]:
+        return self._d.get("partitions", [])
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c["name"] for c in self.columns]
+
+    def column(self, name: str) -> dict:
+        for c in self.columns:
+            if c["name"] == name:
+                return c
+        raise KeyError(name)
+
+    def remove_column(self, name: str) -> None:
+        self._d["columns"] = [c for c in self.columns if c["name"] != name]
+
+    def set_col_type_category_from_types(self) -> None:
+        for c in self.columns:
+            if "type" in c and "type_category" not in c:
+                c["type_category"] = type_category_of(c["type"])
+
+    def to_dict(self) -> dict:
+        return json.loads(json.dumps(self._d))
+
+    def spark_schema(self, exclude_partitions: bool = False) -> T.StructType:
+        """Expected Spark schema generated from the metadata (the graft's
+        analogue of the reference's arrow-schema generation,
+        parquet_validator.py:49-54)."""
+        fields = []
+        for c in self.columns:
+            if exclude_partitions and c["name"] in self.partitions:
+                continue
+            fields.append(
+                T.StructField(
+                    c["name"],
+                    arrow_type_to_spark(c["type"]),
+                    bool(c.get("nullable", True)),
+                )
+            )
+        return T.StructType(fields)

@@ -1,0 +1,98 @@
+"""ValidatorResult — response-dict contract of the engine.
+
+Reproduces, from scratch, the exact nested-dict shape of the reference's
+``ValidatorResult`` (reference data_linter/validators/base.py:9-102):
+
+    {
+      "valid": bool,                      # AND-fold of every test result
+      "<col>": {
+          "valid": bool,                  # AND-fold of this column's tests
+          "<test_name>": {
+              "valid": bool,
+              "test_inputs": {...},
+              # only when invalid:
+              "percentage_of_column_is_error": float,
+              "unexpected_index_sample": [...],
+              "unexpected_values_sample": [...],
+          },
+      },
+      "<table-test-name>": {...},         # e.g. parse_data, overall_validation
+    }
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import List, Optional
+
+
+class ValidatorResult:
+    """Accumulates per-column test results and AND-folds validity flags."""
+
+    TABLE_TEST_PREFIX = "validator-table-test-"
+
+    def __init__(
+        self,
+        result_dict: Optional[dict] = None,
+        validator_valid_key_name: Optional[str] = None,
+    ):
+        if result_dict is not None:
+            if not isinstance(result_dict, dict):
+                raise TypeError("result_dict must be a dict type")
+            self.result = result_dict
+        else:
+            self.result = {"valid": True}
+
+        if validator_valid_key_name is not None:
+            if not isinstance(validator_valid_key_name, str):
+                raise TypeError("validator_valid_key_name must be a str type")
+            self.vvkn = validator_valid_key_name
+        else:
+            self.vvkn = "valid"
+
+    def get_result(self, copy: bool = True) -> dict:
+        return deepcopy(self.result) if copy else self.result
+
+    def init_col(self, colname: str) -> None:
+        if colname not in self.result:
+            self.result[colname] = {"valid": True}
+
+    def add_table_test(self, testname: str, test_result: dict) -> None:
+        """Record a table-scope test as a pseudo-column
+        (reference base.py:87-92)."""
+        self.init_col(testname)
+        self.result[testname] = test_result
+        if self.vvkn in test_result:
+            self.result["valid"] = self.result["valid"] and test_result[self.vvkn]
+
+    def add_test_to_col(self, colname: str, testname: str, test_result: dict) -> None:
+        """Record one test's result under a column and fold validity
+        (reference base.py:94-102)."""
+        self.init_col(colname)
+        self.result[colname][testname] = test_result
+        if self.vvkn in test_result:
+            self.result["valid"] = self.result["valid"] and test_result[self.vvkn]
+            self.result[colname]["valid"] = (
+                self.result[colname]["valid"] and test_result[self.vvkn]
+            )
+
+    def get_names_of_column_failures(self, test_names: List[str] = []) -> list[str]:
+        """Columns with an overall fail, optionally restricted to specific
+        tests (reference base.py:60-85)."""
+        failed_cols = []
+        for colname in self.result:
+            if colname == "valid" or colname.startswith(self.TABLE_TEST_PREFIX):
+                continue
+            entry = self.result[colname]
+            if not isinstance(entry, dict):
+                continue
+            if test_names:
+                overall = True
+                for k, v in entry.items():
+                    if k in test_names and isinstance(v, dict):
+                        overall = overall and v.get(self.vvkn, True)
+            else:
+                overall = entry.get("valid", True)
+            if not overall:
+                failed_cols.append(colname)
+        return failed_cols

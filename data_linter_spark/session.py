@@ -1,0 +1,41 @@
+"""SparkSession builder with engine defaults tuned for the validation
+workload (AQE on, sensible shuffle partitioning for local mode; at cluster
+scale these are overridden by spark-submit conf)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_linter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus or os.cpu_count() or 8
+        shuffle_partitions = int(n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # strptime-style parsing parity (SURVEY.md §7): the CORRECTED
+        # java.time parser, not the legacy SimpleDateFormat
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # engine uses try_cast/try_to_timestamp explicitly; keep ANSI off so
+        # three-valued-logic matches the documented null semantics
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return builder.getOrCreate()

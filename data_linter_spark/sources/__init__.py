@@ -1,0 +1,4 @@
+from data_linter_spark.sources.readers import (  # noqa: F401
+    ColumnError,
+    parse_data_to_spark,
+)

@@ -1,0 +1,173 @@
+"""Sources: file -> aligned, cast-checked Spark DataFrame.
+
+Re-expresses the reference's ``_parse_data_to_pandas``
+(reference data_linter/validators/pandas_validator.py:404-483): header
+handling, BOM strip, case-folding, column-set alignment with the
+``allow-missing-cols`` / ``allow-unexpected-data`` mitigations, row-limit
+sampling, and cast-to-schema.
+
+Casting difference (by design): pandas raises on a bad cast, which the
+reference converts to a table-level ``parse_data_to_pandas`` failure
+(pandas_validator.py:65-75). Spark's ``try_cast`` yields null instead —
+so the cast-conformance check becomes per-column counters of
+``try_cast(col) IS NULL AND col IS NOT NULL`` folded into the same single
+aggregation pass (see validator.SparkValidator). Observable behavior is
+identical: a value that cannot take its declared type fails the table.
+
+Date/timestamp metadata columns are intentionally KEPT AS STRINGS for
+CSV/JSONL so the format tests can run on them, matching the reference's
+"date tests only on string-typed columns" gate (pandas_validator.py:179-200,
+README.md:200-232).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_linter_spark.metadata import Metadata, arrow_type_to_spark
+
+
+class ColumnError(Exception):
+    """Alignment failure (reference pandas_validator.py:26-27)."""
+
+
+_BOM_RE = re.compile(r"^(?:﻿|ï»¿)")
+
+# metadata type categories that get cast for non-parquet sources; date/
+# timestamp stay string so format tests can run (see module docstring)
+_CASTABLE_CATEGORIES = {"integer", "float", "boolean", "list"}
+
+
+def read_file(
+    spark: SparkSession,
+    filepath: str,
+    table_params: dict,
+    metadata: Metadata,
+) -> DataFrame:
+    """Raw read. CSV reads everything as string (like pandas-then-cast in the
+    reference); header assignment from metadata when ``expect-header`` false
+    (pandas_validator.py:418-423)."""
+    fmt = metadata.file_format.lower()
+    meta_col_names = [
+        c["name"] for c in metadata.columns if c["name"] not in metadata.partitions
+    ]
+    if filepath.lower().endswith("csv") or fmt == "csv":
+        expect_header = table_params.get("expect-header", True)
+        df = spark.read.csv(filepath, header=expect_header, inferSchema=False)
+        if not expect_header:
+            df = df.toDF(*meta_col_names[: len(df.columns)])
+    elif fmt in ("jsonl", "json"):
+        df = spark.read.json(filepath)
+    elif fmt in ("parquet", "snappy.parquet"):
+        df = spark.read.parquet(filepath)
+    else:
+        raise ValueError(f"unsupported file_format: {fmt}")
+    return df
+
+
+def parse_data_to_spark(
+    spark: SparkSession,
+    filepath: str,
+    table_params: dict,
+    metadata: Metadata,
+    df: Optional[DataFrame] = None,
+) -> tuple[DataFrame, Metadata, list[str]]:
+    """Align + (lazily) cast. Returns ``(df, metadata, cast_checked_cols)``
+    where ``cast_checked_cols`` are columns whose conformance counters the
+    validator must fold into its aggregation pass.
+
+    Mirrors reference pandas_validator.py:404-483 step by step."""
+    if df is None:
+        df = read_file(spark, filepath, table_params, metadata)
+
+    # strip BOM from header names (pandas_validator.py:427)
+    df = df.toDF(*[_BOM_RE.sub("", c) for c in df.columns])
+
+    meta_col_names = [
+        c["name"] for c in metadata.columns if c["name"] not in metadata.partitions
+    ]
+
+    # eliminate case sensitivity if requested (pandas_validator.py:430-434)
+    if table_params.get("headers-ignore-case"):
+        for c in metadata.columns:
+            c["name"] = c["name"].lower()
+        df = df.toDF(*[c.lower() for c in df.columns])
+        meta_col_names = [c.lower() for c in meta_col_names]
+
+    allow_missing_cols = table_params.get("allow-missing-cols", False)
+    allow_unexpected_data = table_params.get("allow-unexpected-data", False)
+
+    cols_in_meta_but_not_data = [c for c in meta_col_names if c not in df.columns]
+    cols_in_data_but_not_meta = [c for c in df.columns if c not in meta_col_names]
+    cols_in_data_and_meta = [c for c in df.columns if c in meta_col_names]
+
+    if not cols_in_data_and_meta:
+        raise ColumnError("There is no commonality between the data and metadata")
+
+    # both mitigations checked so both errors surface together
+    # (pandas_validator.py:447-472)
+    raise_column_error = False
+    err_msg = ""
+    msg_1 = f"columns present in metadata but not in data: {cols_in_meta_but_not_data}"
+    if (not allow_missing_cols) and cols_in_meta_but_not_data:
+        err_msg += msg_1
+        raise_column_error = True
+    elif allow_missing_cols and cols_in_meta_but_not_data:
+        for col in cols_in_meta_but_not_data:
+            metadata.remove_column(col)
+
+    msg_2 = f"columns present in data but not in metadata: {cols_in_data_but_not_meta}"
+    if (not allow_unexpected_data) and cols_in_data_but_not_meta:
+        err_msg += f"\n{msg_2}"
+        raise_column_error = True
+    elif allow_unexpected_data and cols_in_data_but_not_meta:
+        df = df.select(*cols_in_data_and_meta)  # projection, Catalyst prunes scan
+
+    if raise_column_error:
+        raise ColumnError(err_msg)
+
+    # row-limit sample (pandas_validator.py:474-478); deterministic limit()
+    # instead of pandas random sample — recorded divergence, tests assert
+    # counts only
+    row_limit = table_params.get("row-limit")
+    if row_limit:
+        df = df.limit(int(row_limit))
+
+    # cast to schema for non-parquet (pandas_validator.py:480-481)
+    cast_checked_cols: list[str] = []
+    if metadata.file_format.lower() not in ("parquet", "snappy.parquet"):
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        projected = []
+        for name in df.columns:
+            try:
+                meta_col = metadata.column(name)
+            except KeyError:
+                projected.append(F.col(name))
+                continue
+            cat = meta_col.get("type_category") or ""
+            target = arrow_type_to_spark(meta_col["type"]) if "type" in meta_col else None
+            if (
+                cat in _CASTABLE_CATEGORIES
+                and target is not None
+                and dtypes[name] != target
+                and isinstance(dtypes[name], T.StringType)
+            ):
+                projected.append(F.col(name).try_cast(target).alias(name))
+                cast_checked_cols.append(name)
+            else:
+                projected.append(F.col(name))
+        if cast_checked_cols:
+            # keep originals so conformance counters can compare
+            df = df.select(
+                *projected,
+                *[F.col(c).alias(f"__precast__{c}") for c in cast_checked_cols],
+            )
+        else:
+            df = df.select(*projected)
+
+    return df, metadata, cast_checked_cols

@@ -1,0 +1,196 @@
+"""SparkValidator — the engine's direct-API entry point.
+
+Mirrors the reference's validator API surface
+(``PandasValidator(filepath, table_params, metadata).read_data_and_validate()``
+-> ``.valid`` / ``.get_response_dict()``, reference
+data_linter/validators/pandas_validator.py:30-96 and README.md:108-134), but
+executes ONE fused Spark aggregation pass per table instead of seven
+sequential pandas column scans.
+
+Also provides ``SparkSchemaValidator``, the analogue of the reference's
+footer-only ``ParquetValidator`` (data_linter/validators/parquet_validator.py:22-81):
+``spark.read.parquet(path).schema`` reads only the parquet footer, so this is
+a no-data-scan check.
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.response import ValidatorResult
+from data_linter_spark.sources.readers import parse_data_to_spark
+
+# table-test names kept byte-identical to the reference's so response dicts
+# compare equal in the parity suite (reference pandas_validator.py:73,81;
+# parquet_validator.py:81)
+PARSE_TABLE_TEST = "parse_data_to_pandas"
+OVERALL_TABLE_TEST = "overall_validation"
+SCHEMA_TABLE_TEST = "check_schema_conforms"
+
+
+class SparkValidator:
+    """Validate one table (a filepath or an existing DataFrame)."""
+
+    def __init__(
+        self,
+        filepath: Union[str, DataFrame],
+        table_params: dict,
+        metadata: Union[dict, str, Metadata],
+        spark: Optional[SparkSession] = None,
+        log_verbosity: Optional[int] = None,
+        row_id_col: Optional[str] = None,
+    ):
+        self.spark = spark or SparkSession.getActiveSession()
+        if isinstance(filepath, DataFrame):
+            self.filepath = None
+            self._df = filepath
+        else:
+            self.filepath = filepath
+            self._df = None
+        self.table_params = table_params
+        self.metadata = Metadata.from_infer(metadata)
+        self.metadata.set_col_type_category_from_types()
+        self.log_verbosity = table_params.get("log_verbosity", log_verbosity)
+        self.row_id_col = row_id_col
+        self.response = ValidatorResult()
+
+    # -- reference-parity API ------------------------------------------
+    @property
+    def valid(self) -> bool:
+        return self.response.result["valid"]
+
+    def get_response_dict(self) -> dict:
+        return self.response.get_result()
+
+    def read_data_and_validate(self) -> None:
+        """Read + align + validate; any read/alignment exception becomes a
+        failing table test, any validation exception another — exactly the
+        reference's two-catch structure (pandas_validator.py:60-82)."""
+        fail = {self.response.vvkn: False}
+        cast_checked: list[str] = []
+        try:
+            df, self.metadata, cast_checked = parse_data_to_spark(
+                self.spark, self.filepath, self.table_params, self.metadata,
+                df=self._df,
+            )
+        except Exception:
+            tb = traceback.format_exc()
+            self.response.add_table_test(PARSE_TABLE_TEST, {**fail, "traceback": tb})
+            df = None
+
+        if df is not None:
+            try:
+                self.validate_df(df, cast_checked_cols=cast_checked)
+            except Exception:
+                tb = traceback.format_exc()
+                self.response.add_table_test(
+                    OVERALL_TABLE_TEST, {**fail, "traceback": tb}
+                )
+
+    def validate_df(
+        self, df: DataFrame, cast_checked_cols: Optional[list[str]] = None
+    ) -> None:
+        """Compile all requested constraints + cast-conformance counters into
+        one aggregation pass and fill the response."""
+        plan = ConstraintPlan(
+            df,
+            self.metadata,
+            log_verbosity=self.log_verbosity,
+            row_id_col=self.row_id_col,
+        )
+        cast_aggs = []
+        for c in cast_checked_cols or []:
+            pre = F.col(f"__precast__{c}")
+            bad = pre.isNotNull() & (pre != F.lit("")) & F.col(c).isNull()
+            cast_aggs.append(
+                F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).alias(
+                    f"__castfail__{c}"
+                )
+            )
+        if cast_aggs:
+            row = df.agg(*plan.agg_exprs(), *cast_aggs).collect()[0].asDict()
+            bad_cols = {
+                c: row[f"__castfail__{c}"]
+                for c in cast_checked_cols
+                if row.get(f"__castfail__{c}")
+            }
+            if bad_cols:
+                # the reference surfaces an uncastable value as a
+                # parse_data_to_pandas table failure (pandas raises in
+                # cast_pandas_table_to_schema, pandas_validator.py:65-75)
+                self.response.add_table_test(
+                    PARSE_TABLE_TEST,
+                    {
+                        self.response.vvkn: False,
+                        "cast_failures": bad_cols,
+                    },
+                )
+            plan.fill_from_row(row, self.response)
+        else:
+            plan.run(self.response)
+
+
+class SparkSchemaValidator:
+    """Schema-equality check without scanning data — the analogue of the
+    reference ParquetValidator (parquet_validator.py:49-81). Reads only the
+    parquet footer via ``spark.read.parquet(path).schema``."""
+
+    def __init__(
+        self,
+        filepath: str,
+        table_params: dict,
+        metadata: Union[dict, str, Metadata],
+        spark: Optional[SparkSession] = None,
+    ):
+        self.spark = spark or SparkSession.getActiveSession()
+        self.filepath = filepath
+        self.table_params = table_params
+        self.metadata = Metadata.from_infer(metadata)
+        self.metadata.set_col_type_category_from_types()
+        self.response = ValidatorResult()
+
+    @property
+    def valid(self) -> bool:
+        return self.response.result["valid"]
+
+    def get_response_dict(self) -> dict:
+        return self.response.get_result()
+
+    def read_data_and_validate(self) -> None:
+        file_schema = self.spark.read.parquet(self.filepath).schema
+        meta_schema = self.metadata.spark_schema()
+
+        file_fields = {f.name: f.dataType for f in file_schema.fields}
+        meta_fields = {f.name: f.dataType for f in meta_schema.fields}
+
+        cols_in_meta_not_in_file = sorted(set(meta_fields) - set(file_fields))
+        cols_in_file_not_in_meta = sorted(set(file_fields) - set(meta_fields))
+        cols_with_different_types = {
+            name: {
+                "meta_field": meta_fields[name].simpleString(),
+                "table_field": file_fields[name].simpleString(),
+            }
+            for name in meta_fields
+            if name in file_fields and meta_fields[name] != file_fields[name]
+        }
+        # exact-schema equality incl. field order, mirroring arrow
+        # Schema.equals (parquet_validator.py:53)
+        metas_match = (
+            [f.name for f in file_schema.fields] == [f.name for f in meta_schema.fields]
+            and not cols_with_different_types
+        )
+        self.response.add_table_test(
+            SCHEMA_TABLE_TEST,
+            {
+                "valid": metas_match,
+                "cols_in_meta_not_in_file": cols_in_meta_not_in_file,
+                "cols_in_file_not_in_meta": cols_in_file_not_in_meta,
+                "cols_with_different_types": cols_with_different_types,
+            },
+        )

@@ -1,0 +1,393 @@
+"""Unit tests for the column constraint predicates.
+
+Ports the parametrizations (fixtures + expected verdicts) of the reference's
+tests/test_pandas_validator.py:11-324 to Spark DataFrames — same values,
+same expected pass/fail, exercising the null-semantics parity matrix.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from data_linter_spark.checks.column import build_column_specs, strptime_to_spark
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+
+
+INT_NOT_NULL = ([1, 2, 3, 4, 5], T.LongType())
+INT_IS_NULL = ([1, 2, None, 4, 5], T.LongType())
+DOUBLE_NOT_NULL = ([1.0, 2.23545, 3.532513, 4.35, 5.93567], T.DoubleType())
+DOUBLE_IS_NULL = ([1.0, 2.23545, 3.532513, None, 5.93567], T.DoubleType())
+STR_NOT_NULL = (["cat", "dog", "fish", "apple", "pineapple"], T.StringType())
+STR_IS_NULL = (["cat", "dog", None, "apple", "pineapple"], T.StringType())
+DATE_STR_NOT_NULL = (["01/01/2020", "29/12/3000", "25/06/1903"], T.StringType())
+DATE_STR_IS_NULL = ([None, "29/12/3000", "25/06/1903"], T.StringType())
+DT_STR_NOT_NULL = (
+    ["2020-01-01 10:00:31", "3000-12-29 09:12:23", "1903-06-25 12:00:00"],
+    T.StringType(),
+)
+DT_STR_IS_NULL = (
+    [None, "3000-12-29 09:12:23", "1903-06-25 12:00:00"],
+    T.StringType(),
+)
+DT_STR_NOT_NULL_MIDNIGHT = (
+    ["2020-01-01 00:00:00", "3000-12-29 00:00:00", "1903-06-25 00:00:00"],
+    T.StringType(),
+)
+DT_STR_IS_NULL_MIDNIGHT = (
+    [None, "3000-12-29 00:00:00", "1903-06-25 00:00:00"],
+    T.StringType(),
+)
+
+
+def run_test(spark, col_fixture, meta_col, test_name):
+    """Build a one-column DataFrame, compile, run, return the test's result
+    dict (or None when the dispatch gate skips it — reference
+    pandas_validator.py:141-207 returns None)."""
+    values, dtype = col_fixture
+    schema = T.StructType([T.StructField("test_col", dtype, True)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    meta = Metadata(
+        {"name": "t", "file_format": "csv", "columns": [dict(meta_col)]}
+    )
+    plan = ConstraintPlan(df, meta)
+    if not any(s.test_name == test_name for s in plan.specs):
+        return None
+    res = plan.run().get_result()
+    return res["test_col"][test_name]
+
+
+@pytest.mark.parametrize(
+    "col,expected_valid",
+    [
+        (INT_IS_NULL, False),
+        (INT_NOT_NULL, True),
+        (DOUBLE_IS_NULL, False),
+        (DOUBLE_NOT_NULL, True),
+        (STR_IS_NULL, False),
+        (STR_NOT_NULL, True),
+    ],
+)
+def test_nullable_validation(spark, col, expected_valid):
+    res = run_test(
+        spark, col, {"name": "test_col", "nullable": False}, "nullable_test"
+    )
+    assert isinstance(res, dict)
+    assert res["valid"] == expected_valid
+
+
+@pytest.mark.parametrize(
+    "col", [INT_IS_NULL, INT_NOT_NULL, DOUBLE_IS_NULL, DOUBLE_NOT_NULL]
+)
+@pytest.mark.parametrize(
+    "meta_col",
+    [
+        {"name": "test_col", "minimum": 0, "maximum": 6},
+        {"name": "test_col", "minimum": -6},
+        {"name": "test_col", "maximum": 6},
+        {"name": "test_col", "minimum": 0.0, "maximum": 6.0},
+        {"name": "test_col", "minimum": -6.1},
+        {"name": "test_col", "maximum": 6.2},
+    ],
+)
+def test_min_max_validation_pass(spark, col, meta_col):
+    res = run_test(spark, col, meta_col, "min_max_test")
+    assert res["valid"]
+
+
+@pytest.mark.parametrize(
+    "col", [INT_IS_NULL, INT_NOT_NULL, DOUBLE_IS_NULL, DOUBLE_NOT_NULL]
+)
+@pytest.mark.parametrize(
+    "meta_col",
+    [
+        {"name": "test_col", "minimum": 5, "maximum": 6},
+        {"name": "test_col", "minimum": 5},
+        {"name": "test_col", "maximum": 3},
+    ],
+)
+def test_min_max_validation_fail(spark, col, meta_col):
+    res = run_test(spark, col, meta_col, "min_max_test")
+    assert res["valid"] is False
+
+
+@pytest.mark.parametrize("col", [STR_IS_NULL, STR_NOT_NULL])
+@pytest.mark.parametrize(
+    "meta_col",
+    [
+        {"name": "test_col", "minLength": 0, "maxLength": 10},
+        {"name": "test_col", "minLength": 0},
+        {"name": "test_col", "maxLength": 10},
+    ],
+)
+def test_min_max_length_test_pass(spark, col, meta_col):
+    res = run_test(spark, col, meta_col, "min_max_length_test")
+    assert res["valid"]
+
+
+@pytest.mark.parametrize("col", [STR_IS_NULL, STR_NOT_NULL])
+@pytest.mark.parametrize(
+    "meta_col",
+    [
+        {"name": "test_col", "minLength": 5, "maxLength": 6},
+        {"name": "test_col", "minLength": 5},
+        {"name": "test_col", "maxLength": 6},
+    ],
+)
+def test_min_max_length_test_fail(spark, col, meta_col):
+    res = run_test(spark, col, meta_col, "min_max_length_test")
+    assert res["valid"] is False
+
+
+@pytest.mark.parametrize(
+    "col_values,expected_valid",
+    [
+        (["abc-1235", "xyz-4468", "xyz-0284", "acx-8936"], True),
+        (["abc-1235", None, "xyz-0284", "acx-8936"], True),
+        (["abc-1235", "xyz-4468", "xyz-0284", "1acx-8936"], False),
+        (["abc-1235", "xyz-4468", None, "cx-8936"], False),
+    ],
+)
+def test_pattern_test(spark, col_values, expected_valid):
+    meta_col = {"name": "test_col", "pattern": "^\\D{3}-\\d{4}$"}
+    res = run_test(spark, (col_values, T.StringType()), meta_col, "pattern_test")
+    assert res["valid"] == expected_valid
+
+
+def test_pattern_anchored_at_start_only(spark):
+    # pandas str.match anchors at start, NOT end: pattern "cat" must also
+    # accept "caterpillar"
+    meta_col = {"name": "test_col", "pattern": "cat"}
+    res = run_test(
+        spark, (["cat", "caterpillar"], T.StringType()), meta_col, "pattern_test"
+    )
+    assert res["valid"]
+    res = run_test(
+        spark, (["cat", "bobcat"], T.StringType()), meta_col, "pattern_test"
+    )
+    assert res["valid"] is False
+
+
+@pytest.mark.parametrize("col", [STR_IS_NULL, STR_NOT_NULL])
+@pytest.mark.parametrize(
+    "meta_col,expected_valid",
+    [
+        (
+            {"name": "test_col", "enum": ["cat", "dog", "fish", "apple", "pineapple"]},
+            True,
+        ),
+        ({"name": "test_col", "enum": ["cat", "dog", "fish", "robot"]}, False),
+    ],
+)
+def test_enum_test(spark, col, meta_col, expected_valid):
+    res = run_test(spark, col, meta_col, "enum_test")
+    assert res["valid"] == expected_valid
+
+
+def test_enum_nulls_fail_when_not_nullable(spark):
+    # pandas isin(NaN) -> False -> a null IS a violation in the non-nullable
+    # branch (reference pandas_validator.py:268)
+    meta = {"name": "test_col", "enum": ["cat", "dog"], "nullable": False}
+    res = run_test(spark, (["cat", None], T.StringType()), meta, "enum_test")
+    assert res["valid"] is False
+    meta_nullable = {"name": "test_col", "enum": ["cat", "dog"], "nullable": True}
+    res = run_test(
+        spark, (["cat", None], T.StringType()), meta_nullable, "enum_test"
+    )
+    assert res["valid"]
+
+
+@pytest.mark.parametrize("col", [DATE_STR_IS_NULL, DATE_STR_NOT_NULL])
+def test_date_format_test_pass(spark, col):
+    meta_col = {"name": "test_col", "type": "date64", "datetime_format": "%d/%m/%Y"}
+    res = run_test(spark, col, meta_col, "date_format_test")
+    assert res["valid"]
+
+
+@pytest.mark.parametrize(
+    "col", [DT_STR_IS_NULL_MIDNIGHT, DT_STR_NOT_NULL_MIDNIGHT]
+)
+def test_datetime_midnight_is_valid_date(spark, col):
+    meta_col = {
+        "name": "test_col",
+        "type": "date32",
+        "datetime_format": "%Y-%m-%d %H:%M:%S",
+    }
+    res = run_test(spark, col, meta_col, "date_format_test")
+    assert res["valid"]
+
+
+@pytest.mark.parametrize(
+    "col,meta_col",
+    [
+        (DATE_STR_IS_NULL, {"name": "test_col", "type": "date64"}),
+        (DATE_STR_NOT_NULL, {"name": "test_col", "type": "date64"}),
+        (
+            DT_STR_IS_NULL,
+            {
+                "name": "test_col",
+                "type": "date64",
+                "datetime_format": "%Y/%m/%d %H:%M:%S",
+            },
+        ),
+        (
+            DT_STR_NOT_NULL,
+            {
+                "name": "test_col",
+                "type": "date64",
+                "datetime_format": "%Y/%m/%d %H:%M:%S",
+            },
+        ),
+    ],
+)
+def test_date_format_test_fail(spark, col, meta_col):
+    res = run_test(spark, col, meta_col, "date_format_test")
+    assert not res["valid"]
+
+
+def test_date_with_time_component_fails_midnight_rule(spark):
+    # parses fine but has a time component -> date test must fail
+    # (reference _check_no_time_component_in_expected_date,
+    # pandas_validator.py:337-339)
+    meta_col = {
+        "name": "test_col",
+        "type": "date64",
+        "datetime_format": "%Y-%m-%d %H:%M:%S",
+    }
+    res = run_test(spark, DT_STR_NOT_NULL, meta_col, "date_format_test")
+    assert res["valid"] is False
+
+
+@pytest.mark.parametrize("col", [DT_STR_IS_NULL, DT_STR_NOT_NULL])
+@pytest.mark.parametrize(
+    "datetime_format,expected_valid",
+    [
+        (None, True),
+        ("%Y-%m-%d %H:%M:%S", True),
+        ("%d/%m/%Y %H:%M:%S", False),
+    ],
+)
+def test_datetime_format_test(spark, col, datetime_format, expected_valid):
+    meta_col = {"name": "test_col", "type": "timestamp(s)"}
+    if datetime_format:
+        meta_col["datetime_format"] = datetime_format
+    res = run_test(spark, col, meta_col, "datetime_format_test")
+    assert res["valid"] == expected_valid
+
+
+def test_empty_string_is_valid_date(spark):
+    # reference pandas_validator.py:324-325: NA or empty string -> valid
+    meta_col = {"name": "test_col", "type": "date64"}
+    res = run_test(
+        spark, (["", "2020-01-01", None], T.StringType()), meta_col,
+        "date_format_test",
+    )
+    assert res["valid"]
+
+
+def test_validation_function_skips(spark):
+    """Dispatch gates: a test without its trigger metadata never compiles
+    (reference pandas_validator.py:316-324)."""
+    assert run_test(spark, STR_IS_NULL, {"name": "test_col"}, "nullable_test") is None
+    assert (
+        run_test(
+            spark, STR_IS_NULL, {"name": "test_col", "nullable": True},
+            "nullable_test",
+        )
+        is None
+    )
+    assert run_test(spark, STR_IS_NULL, {"name": "test_col"}, "min_max_test") is None
+    assert (
+        run_test(spark, STR_IS_NULL, {"name": "test_col"}, "min_max_length_test")
+        is None
+    )
+    assert run_test(spark, STR_IS_NULL, {"name": "test_col"}, "pattern_test") is None
+    assert run_test(spark, STR_IS_NULL, {"name": "test_col"}, "enum_test") is None
+    assert (
+        run_test(spark, STR_IS_NULL, {"name": "test_col"}, "datetime_format_test")
+        is None
+    )
+    assert (
+        run_test(spark, STR_IS_NULL, {"name": "test_col"}, "date_format_test") is None
+    )
+
+
+def test_date_test_skipped_for_non_string_column(spark):
+    # date/datetime tests only run on string-typed columns (reference
+    # pandas_validator.py:179-200)
+    import datetime
+
+    values = [datetime.date(2020, 1, 1), datetime.date(2021, 5, 5)]
+    res = run_test(
+        spark, (values, T.DateType()), {"name": "test_col", "type": "date64"},
+        "date_format_test",
+    )
+    assert res is None
+
+
+def test_percentage_and_samples(spark):
+    values, dtype = ([1, 2, 30, 40, 5], T.LongType())
+    schema = T.StructType([T.StructField("test_col", dtype, True)])
+    df = spark.createDataFrame([(v,) for v in values], schema).coalesce(1)
+    meta = Metadata(
+        {
+            "name": "t",
+            "file_format": "csv",
+            "columns": [{"name": "test_col", "maximum": 10}],
+        }
+    )
+    plan = ConstraintPlan(df, meta, log_verbosity=0)
+    res = plan.run().get_result()["test_col"]["min_max_test"]
+    assert res["valid"] is False
+    assert res["percentage_of_column_is_error"] == pytest.approx(40.0)
+    assert sorted(res["unexpected_values_sample"]) == ["30", "40"]
+    assert res["test_inputs"] == {
+        "column": "test_col",
+        "minimum_value": None,
+        "maximum_value": 10,
+    }
+
+
+def test_no_samples_without_verbosity(spark):
+    values = ([1, 30], T.LongType())
+    res = run_test(spark, values, {"name": "test_col", "maximum": 10}, "min_max_test")
+    assert res["valid"] is False
+    assert "unexpected_values_sample" not in res
+    assert "percentage_of_column_is_error" in res
+
+
+def test_strptime_translation():
+    assert strptime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strptime_to_spark("%d/%m/%Y %H:%M:%S") == "dd/MM/yyyy HH:mm:ss"
+    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def test_array_column_constraints(spark):
+    """Graft extension: bounds on array elements, length via F.size
+    (SURVEY.md §1.4 — the tokens table)."""
+    schema = T.StructType(
+        [T.StructField("tokens", T.ArrayType(T.IntegerType()), True)]
+    )
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([5, 60000],), (None,), ([4],)], schema
+    )
+    meta = Metadata(
+        {
+            "name": "t",
+            "file_format": "parquet",
+            "columns": [
+                {
+                    "name": "tokens",
+                    "type": "list<int32>",
+                    "minimum": 0,
+                    "maximum": 50000,
+                    "minLength": 1,
+                    "maxLength": 3,
+                }
+            ],
+        }
+    )
+    plan = ConstraintPlan(df, meta)
+    res = plan.run().get_result()["tokens"]
+    assert res["min_max_test"]["valid"] is False  # 60000 out of range
+    assert res["min_max_length_test"]["valid"] is True  # sizes 3,2,-,1 ok
+    assert res["valid"] is False
