@@ -1,0 +1,97 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports ``tokens_rows_per_sec``: full-constraint-suite validation
+throughput (rows/sec) over a synthetic tokens table generated in parallel on
+executors — the engine's headline number per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def time_query(fn, *args) -> float:
+    t0 = time.perf_counter()
+    df = fn(*args)
+    df.collect()
+    return time.perf_counter() - t0
+
+
+def tokens_throughput(spark, n_rows: int) -> tuple[float, float]:
+    """Full constraint suite (bounds, length, pattern, enum, nullable) +
+    uniqueness screen in one fused pass over a MATERIALIZED synthetic tokens
+    table (parquet stands in for Iceberg): the measured quantity is
+    read+validate, the real workload shape. The table is written once to
+    /tmp and reused across bench runs; one warmup run excludes JVM JIT."""
+    from data_linter_spark.checks.unique import uniqueness_screen_exprs
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.tokens import synthetic_tokens, tokens_metadata
+
+    path = f"/tmp/spark_graft_bench/tokens_{n_rows}.parquet"
+    if not os.path.exists(path):
+        synthetic_tokens(spark, n_rows).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    plan = ConstraintPlan(df, Metadata(tokens_metadata(strict=True)))
+    aggs = [*plan.agg_exprs(), *uniqueness_screen_exprs("doc_id")]
+    df.agg(*aggs).collect()  # warmup (JIT)
+    t0 = time.perf_counter()
+    df.agg(*aggs).collect()
+    dt = time.perf_counter() - t0
+    return dt, n_rows / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="data_linter_spark_bench", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import data_linter_spark.queries as q
+
+    # warm the JVM/code paths once on tiny data so measured times are the
+    # engine, not first-call JIT
+    q.q_suite_lineitem(spark, "/root/testdata/sf0.001").collect()
+
+    per_query: dict[str, float] = {}
+    for name, fn in q.queries().items():
+        per_query[name] = round(time_query(fn, spark, sf_dir), 4)
+
+    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", 10_000_000))
+    tok_sec, tok_rps = tokens_throughput(spark, n_tokens)
+    per_query["tokens_suite_synthetic"] = round(tok_sec, 4)
+
+    total = sum(per_query.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "tokens_rows_per_sec": round(tok_rps),
+                "tokens_rows": n_tokens,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Distribution-drift checks (KS / PSI) vs a stored baseline profile —
+graft extension (SURVEY.md §2.9; the reference has nothing of the kind).
+
+Design for 100 TB: a drift statistic must be computable from ASSOCIATIVELY
+MERGEABLE partial sketches (SURVEY.md §7 risk register). Fixed-bin
+histograms are: each partition contributes partial bin counts (map-side
+combine), one narrow shuffle merges them, the driver computes the statistic
+against the baseline. Two sketch paths:
+
+- numeric column histogram: pure native ``groupBy(bucket).count`` — stays
+  in whole-stage codegen, no Python in the hot path;
+- token-id histogram over ``array<int32>``: Arrow-batched ``mapInPandas``
+  emitting per-batch ``np.bincount`` partials (vectorized; beats
+  ``explode`` by not materializing one row per token).
+
+Statistics:
+- PSI  = Σ (p_i − q_i) · ln(p_i / q_i)   (with ε-smoothing)
+- KS   = max_i |CDF_p(i) − CDF_q(i)|      (on the same fixed bins)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+@dataclass
+class HistogramProfile:
+    """Baseline profile: fixed equal-width bins over [lo, hi] plus overflow
+    bins at each end; counts normalized lazily."""
+
+    lo: float
+    hi: float
+    n_bins: int
+    counts: list[float] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"lo": self.lo, "hi": self.hi, "n_bins": self.n_bins,
+             "counts": self.counts}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "HistogramProfile":
+        d = json.loads(s)
+        return cls(d["lo"], d["hi"], d["n_bins"], d["counts"])
+
+    def probs(self) -> list[float]:
+        total = sum(self.counts) or 1.0
+        return [c / total for c in self.counts]
+
+
+def _bucket_expr(col, lo: float, hi: float, n_bins: int):
+    """Equal-width bucket index in [0, n_bins-1], clamping overflow into the
+    edge bins (keeps the sketch total-preserving)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((col - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+
+def numeric_histogram(
+    df: DataFrame, col_name: str, lo: float, hi: float, n_bins: int = 32
+) -> HistogramProfile:
+    """One partial+final aggregation; nulls excluded."""
+    col = F.col(col_name)
+    rows = (
+        df.filter(col.isNotNull())
+        .groupBy(_bucket_expr(col, lo, hi, n_bins).alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    counts = [0.0] * n_bins
+    for r in rows:
+        counts[r["__bucket"]] = float(r["__cnt"])
+    return HistogramProfile(lo, hi, n_bins, counts)
+
+
+def numeric_histogram_df(
+    df: DataFrame, col_name: str, lo: float, hi: float, n_bins: int = 32
+) -> DataFrame:
+    """Lazy histogram as a DataFrame (bucket, cnt) — for oracle-checked
+    queries and for writing profiles as tables."""
+    col = F.col(col_name)
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(_bucket_expr(col, lo, hi, n_bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_histogram(
+    df: DataFrame, tokens_col: str, vocab_size: int, n_bins: int = 256
+) -> HistogramProfile:
+    """Histogram of token ids folded into ``n_bins`` buckets via Arrow-batched
+    mapInPandas partial bincounts (vectorized, no per-row Python)."""
+    import numpy as np
+    import pandas as pd
+
+    fold = max(1, vocab_size // n_bins)
+
+    def partial_hist(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc = np.zeros(n_bins, dtype="int64")
+        for pdf in batches:
+            col = pdf[tokens_col].dropna()
+            if len(col):
+                flat = np.concatenate([np.asarray(a, dtype="int64") for a in col])
+                if flat.size:
+                    np.add.at(
+                        acc, np.minimum(flat // fold, n_bins - 1),
+                        1,
+                    )
+        yield pd.DataFrame({"bucket": np.arange(n_bins), "cnt": acc})
+
+    partials = df.select(tokens_col).mapInPandas(
+        partial_hist, schema="bucket int, cnt long"
+    )
+    rows = partials.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    counts = [0.0] * n_bins
+    for r in rows:
+        counts[r["bucket"]] = float(r["cnt"])
+    return HistogramProfile(0.0, float(vocab_size), n_bins, counts)
+
+
+# -- statistics -------------------------------------------------------------
+
+
+def psi(baseline: HistogramProfile, current: HistogramProfile) -> float:
+    """Population Stability Index with ε-smoothing."""
+    p = baseline.probs()
+    q = current.probs()
+    return sum(
+        (qi - pi) * math.log((qi + EPS) / (pi + EPS)) for pi, qi in zip(p, q)
+    )
+
+
+def ks_statistic(baseline: HistogramProfile, current: HistogramProfile) -> float:
+    """Max CDF gap on the shared fixed bins (a lower bound on the exact KS
+    statistic, exact in the limit of fine bins)."""
+    p = baseline.probs()
+    q = current.probs()
+    cp = cq = 0.0
+    worst = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        worst = max(worst, abs(cp - cq))
+    return worst
+
+
+def drift_test_result(
+    baseline: HistogramProfile,
+    current: HistogramProfile,
+    col_name: str,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> dict:
+    """Response-dict entry for ``drift_test`` (reference result shape)."""
+    psi_v = psi(baseline, current)
+    ks_v = ks_statistic(baseline, current)
+    return {
+        "valid": psi_v <= psi_threshold and ks_v <= ks_threshold,
+        "test_inputs": {
+            "column": col_name,
+            "psi_threshold": psi_threshold,
+            "ks_threshold": ks_threshold,
+        },
+        "psi": psi_v,
+        "ks": ks_v,
+    }
+
+
+def baseline_from_df(
+    df: DataFrame,
+    col_name: str,
+    n_bins: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> HistogramProfile:
+    """Profile writer: bounds from the data when not pinned (one extra agg)."""
+    if lo is None or hi is None:
+        r = df.agg(
+            F.min(col_name).alias("lo"), F.max(col_name).alias("hi")
+        ).collect()[0]
+        lo = float(r["lo"]) if lo is None else lo
+        hi = float(r["hi"]) if hi is None else hi
+        if hi <= lo:
+            hi = lo + 1.0
+    return numeric_histogram(df, col_name, lo, hi, n_bins)

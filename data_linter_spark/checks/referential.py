@@ -1,0 +1,79 @@
+"""Referential-integrity check — graft extension (SURVEY.md §2.9; the
+reference has no joins of any kind).
+
+Metadata extension::
+
+    {"name": "l_orderkey", "type": "int64",
+     "references": {"table": "orders", "column": "o_orderkey"}}
+
+Violations are rows whose key has no match in the referenced table's key
+column — a LEFT ANTI join. The referenced key set is distinct-ed and
+broadcast (a dimension key set is almost always << the fact table; the
+``broadcast`` flag disables the hint for the rare big-dimension case, where
+AQE + a shuffled sort-merge join takes over)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ref_violations_df(
+    df: DataFrame,
+    col_name: str,
+    ref_df: DataFrame,
+    ref_col: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col_name`` is non-null and absent from
+    ``ref_df[ref_col]``. Null keys are not violations (nullability is the
+    nullable test's business)."""
+    keys = ref_df.select(F.col(ref_col).alias("__ref_key")).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return df.filter(F.col(col_name).isNotNull()).join(
+        keys, on=F.col(col_name) == F.col("__ref_key"), how="left_anti"
+    )
+
+
+def ref_valid_rows_df(
+    df: DataFrame,
+    col_name: str,
+    ref_df: DataFrame,
+    ref_col: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """The passing complement (left-semi)."""
+    keys = ref_df.select(F.col(ref_col).alias("__ref_key")).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return df.join(keys, on=F.col(col_name) == F.col("__ref_key"), how="left_semi")
+
+
+def referential_test_result(
+    df: DataFrame,
+    col_name: str,
+    ref_df: DataFrame,
+    ref_col: str,
+    ref_table_name: str = "",
+    total_rows: int | None = None,
+    broadcast: bool = True,
+) -> dict:
+    """Response-dict entry for ``referential_test`` (reference result shape:
+    valid / test_inputs / percentage_of_column_is_error)."""
+    res: dict = {
+        "valid": None,
+        "test_inputs": {
+            "column": col_name,
+            "references": {"table": ref_table_name, "column": ref_col},
+        },
+    }
+    n_viol = ref_violations_df(df, col_name, ref_df, ref_col, broadcast).count()
+    res["valid"] = n_viol == 0
+    if n_viol:
+        total = total_rows if total_rows is not None else df.count()
+        res["violation_rows"] = n_viol
+        res["percentage_of_column_is_error"] = (
+            (n_viol / total * 100) if total else 0.0
+        )
+    return res

@@ -1,0 +1,130 @@
+"""Uniqueness check — declared in the reference's metadata spec but never
+implemented there (reference tests/data/inputs/basic_meta_data.json:13;
+SURVEY.md §2.9). Spec from the graft north_star:
+
+1. **HLL screen** (cheap, no shuffle beyond one partial+final agg):
+   ``approx_count_distinct`` vs ``count``. If the approximate distinct count
+   is far enough below the row count that duplicates are CERTAIN even at the
+   sketch's worst-case error, skip straight to "has duplicates"? No — we
+   still need exact counts for the verdict, so the screen's job is the other
+   direction: when ``approx ≈ count`` the column is *probably* unique and the
+   exact pass confirms; when ``approx << count`` the screen already proves
+   duplicates exist and the exact pass only quantifies them. Either way the
+   screen costs one scan shared with the main constraint aggregation.
+
+2. **Exact two-stage salted dedup**: stage 1 groups by
+   ``(key, salt)`` where salt = ``pmod(xxhash64(rand-free row tag), S)`` —
+   partial counts bounded per reducer even when one key dominates; stage 2
+   re-aggregates partial counts by key alone. This makes the skew handling
+   EXPLICIT (north_rule), on top of Spark's own map-side partial
+   aggregation.
+
+At 10^12 rows the exact pass is the cost center: the screen lets a run skip
+it per-column when ``screen_only`` verdicts suffice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_RSD = 0.02  # approx_count_distinct relative standard deviation
+
+
+def uniqueness_screen_exprs(col_name: str) -> list:
+    """Counters to fold into the shared single-pass aggregation."""
+    return [
+        F.count(F.col(col_name)).alias(f"__uq_count__{col_name}"),
+        F.approx_count_distinct(F.col(col_name), HLL_RSD).alias(
+            f"__uq_approx__{col_name}"
+        ),
+    ]
+
+
+def screen_verdict(count: int, approx_distinct: int, rsd: float = HLL_RSD) -> str:
+    """'dups_certain' | 'probably_unique' from screen counters alone."""
+    # even at +3 sigma the sketch can't reach the row count -> dups certain
+    if approx_distinct * (1 + 3 * rsd) < count:
+        return "dups_certain"
+    return "probably_unique"
+
+
+def duplicate_stats(
+    df: DataFrame, col_name: str, salt_buckets: int = 64
+) -> tuple[int, int]:
+    """Exact duplicate counts via the two-stage salted aggregation.
+
+    Returns ``(n_duplicate_keys, n_rows_in_duplicate_keys)`` — a key counts
+    as duplicate when it appears more than once; nulls are ignored (null is
+    the nullable test's business, reference semantics keep tests orthogonal).
+    """
+    key = F.col(col_name)
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    partial = (
+        df.filter(key.isNotNull())
+        .groupBy(key.alias("__key"), salt.alias("__salt"))
+        .agg(F.count(F.lit(1)).alias("__pcnt"))
+    )
+    keyed = partial.groupBy("__key").agg(F.sum("__pcnt").alias("__cnt"))
+    dups = keyed.filter(F.col("__cnt") > 1)
+    row = dups.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("r"),
+    ).collect()[0]
+    return int(row["k"]), int(row["r"])
+
+
+def duplicate_keys_df(df: DataFrame, col_name: str) -> DataFrame:
+    """DataFrame of (key, cnt) for keys appearing more than once."""
+    return (
+        df.filter(F.col(col_name).isNotNull())
+        .groupBy(F.col(col_name))
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def duplicate_rows_df(df: DataFrame, col_name: str) -> DataFrame:
+    """Violation rows: every row whose key occurs more than once (left-semi
+    join against the duplicate key set; AQE picks broadcast when the dup set
+    is small, which it usually is)."""
+    dups = duplicate_keys_df(df, col_name).select(col_name)
+    return df.join(dups, on=col_name, how="left_semi")
+
+
+def unique_test_result(
+    df: DataFrame,
+    col_name: str,
+    total_rows: Optional[int] = None,
+    screen_counters: Optional[tuple[int, int]] = None,
+    screen_only: bool = False,
+) -> dict:
+    """Build a response-dict entry for ``unique_test`` in the reference's
+    result shape (valid / test_inputs / percentage_of_column_is_error)."""
+    res: dict = {"valid": None, "test_inputs": {"column": col_name}}
+    if screen_counters is not None:
+        count, approx = screen_counters
+        verdict = screen_verdict(count, approx)
+        res["screen"] = {
+            "count": count,
+            "approx_distinct": approx,
+            "verdict": verdict,
+        }
+        if screen_only:
+            res["valid"] = verdict == "probably_unique"
+            return res
+        if verdict == "probably_unique" and count == approx and count <= 1:
+            res["valid"] = True
+            return res
+    n_keys, n_rows = duplicate_stats(df, col_name)
+    res["valid"] = n_keys == 0
+    if n_keys:
+        total = total_rows if total_rows is not None else df.count()
+        res["duplicate_keys"] = n_keys
+        res["duplicate_rows"] = n_rows
+        res["percentage_of_column_is_error"] = (
+            (n_rows / total * 100) if total else 0.0
+        )
+    return res

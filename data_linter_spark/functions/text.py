@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines — all JVM-side native
+expressions (no Python in the hot path):
+
+- whitespace + BPE-ish regex token counting
+- quality scoring (length / punctuation / stopword / repetition ratios)
+- n-gram-heuristic language ID
+- document fingerprinting (normalized-content hash; rolling-hash shingles
+  live in functions/dedup.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as",
+]
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer's shape, expressed as a plain regex)
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(col), r"\s+")))
+
+
+def regex_token_count(col: Column, pattern: str = BPE_ISH_RE) -> Column:
+    """Count of BPE-ish token matches via regexp_count (JVM-side)."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, by length arithmetic (portable to
+    ANSI SQL for the oracle)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are (English) stopwords."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    hits = None
+    for w in stopwords:
+        h = _count_occurrences(padded, f" {w} ")
+        hits = h if hits is None else hits + h
+    return hits / F.greatest(ws_token_count(col), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    no_space = F.regexp_replace(col, r"\s+", "")
+    return F.length(no_space) / F.greatest(ws_token_count(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards texts with moderate
+    length, low punctuation density, a natural stopword rate, and word
+    lengths in a human range. Deliberately simple and fully expressible in
+    ANSI SQL so the oracle can replicate it."""
+    length_ok = F.when(
+        (F.length(col) >= 50) & (F.length(col) <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    stop_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(col)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + stop_ok + word_ok) / F.lit(4.0)
+
+
+def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-word language ID: the language whose marker set occurs most
+    often (space-padded literal matching); deterministic alphabetical
+    tiebreak; 'und' (undetermined) when no marker hits."""
+    markers = markers or LANG_MARKERS
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = []
+    for lang in sorted(markers):
+        hits = None
+        for w in markers[lang]:
+            h = _count_occurrences(padded, f" {w} ")
+            hits = h if hits is None else hits + h
+        scores.append((lang, hits))
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first (alphabetical) language reaching the max wins — build the
+    # expression back-to-front so earlier langs take precedence
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse whitespace,
+    strip punctuation, then xxhash64 — robust to trivial formatting edits.
+    (Cross-engine-portable md5 variant: ``F.md5`` over the same
+    normalization.)"""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.xxhash64(F.trim(norm))
+
+
+def content_fingerprint_md5(col: Column) -> Column:
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.md5(F.trim(norm).cast("binary"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document text-analysis columns appended in one projection."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        ws_token_count(c).alias("ws_tokens"),
+        regex_token_count(c).alias("bpe_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(quality_score(c), 6).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        content_fingerprint_md5(c).alias("fingerprint"),
+    )

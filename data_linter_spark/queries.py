@@ -1,0 +1,459 @@
+"""Driver-facing query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus an equivalent DuckDB oracle
+SQL string (same column names, deterministic values).
+
+Each query exercises a specific engine component (SURVEY.md §2 inventory).
+Doubles that cross engines are rounded so double-summation order cannot
+flip the value hash.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.checks.referential import ref_violations_df
+from data_linter_spark.checks.unique import duplicate_keys_df
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.tokens import TOKENS_SQL_CTE, tokens_from_documents
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. flagship: full constraint suite over lineitem in ONE aggregation pass
+# ---------------------------------------------------------------------------
+
+LINEITEM_META = {
+    "name": "lineitem",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "l_orderkey", "type": "int64", "nullable": False},
+        {"name": "l_quantity", "type": "float64", "minimum": 1, "maximum": 25},
+        {"name": "l_discount", "type": "float64", "minimum": 0.0, "maximum": 0.05},
+        {"name": "l_extendedprice", "type": "float64", "minimum": 0.0},
+        {"name": "l_returnflag", "type": "string", "enum": ["A", "N", "R"]},
+        {"name": "l_linestatus", "type": "string", "enum": ["O", "F"]},
+    ],
+}
+
+
+def q_suite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "lineitem")
+    return ConstraintPlan(df, Metadata(LINEITEM_META)).verdict_df()
+
+
+SQL_SUITE_LINEITEM = """
+SELECT
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_orderkey__nullable_test",
+  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_quantity__min_max_test",
+  CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_discount__min_max_test",
+  CAST(SUM(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_extendedprice__min_max_test",
+  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                 AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_returnflag__enum_test",
+  CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                 AND l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__l_linestatus__enum_test"
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. constraint suite over the synthetic tokens table (the graft's canonical
+#    input): array-element bounds, array-length bounds, pattern, enum
+# ---------------------------------------------------------------------------
+
+TOKENS_QUERY_META = {
+    "name": "tokens",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "doc_id", "type": "string", "nullable": False,
+         "pattern": r"doc-\d+$"},
+        {"name": "tokens", "type": "list<int32>", "nullable": False,
+         "minimum": 0, "maximum": 40000, "minLength": 1, "maxLength": 150},
+        {"name": "n_tok", "type": "int32", "minimum": 1, "maximum": 150},
+        {"name": "source", "type": "string",
+         "enum": [f"src{i}" for i in range(15)]},
+    ],
+}
+
+
+def q_suite_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = tokens_from_documents(spark, sf_dir)
+    return ConstraintPlan(df, Metadata(TOKENS_QUERY_META)).verdict_df()
+
+
+SQL_SUITE_TOKENS = f"""
+WITH {TOKENS_SQL_CTE}
+SELECT
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__doc_id__nullable_test",
+  CAST(SUM(CASE WHEN doc_id IS NOT NULL
+                 AND NOT regexp_matches(doc_id, '^(?:doc-\\d+$)')
+            THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__doc_id__pattern_test",
+  CAST(SUM(CASE WHEN tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__tokens__nullable_test",
+  CAST(SUM(CASE WHEN list_min(tokens) < 0 OR list_max(tokens) > 40000
+            THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__tokens__min_max_test",
+  CAST(SUM(CASE WHEN len(tokens) < 1 OR len(tokens) > 150
+            THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__tokens__min_max_length_test",
+  CAST(SUM(CASE WHEN n_tok < 1 OR n_tok > 150 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__n_tok__min_max_test",
+  CAST(SUM(CASE WHEN source IS NOT NULL AND source NOT IN
+                 ({','.join(repr(f'src{i}') for i in range(15))})
+            THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__source__enum_test"
+FROM tokens_tbl
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. per-partition (grouped) verdicts over documents — the graft's
+#    per-Iceberg-partition verdict rows (SURVEY.md §3.3)
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_META = {
+    "name": "documents",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "text", "type": "string", "nullable": False, "minLength": 60},
+        {"name": "n_chars", "type": "int64", "minimum": 50, "maximum": 500},
+        {"name": "lang", "type": "string", "enum": ["en", "de", "es", "fr"]},
+    ],
+}
+
+
+def q_verdicts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return ConstraintPlan(df, Metadata(DOCUMENTS_META)).grouped_verdict_df(
+        ["source"]
+    )
+
+
+SQL_VERDICTS_BY_SOURCE = """
+SELECT
+  source,
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__text__nullable_test",
+  CAST(SUM(CASE WHEN length(text) < 60 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__text__min_max_length_test",
+  CAST(SUM(CASE WHEN n_chars < 50 OR n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__n_chars__min_max_test",
+  CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+            THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__lang__enum_test"
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. uniqueness: exact duplicate stats (lineitem.l_orderkey HAS duplicates)
+# ---------------------------------------------------------------------------
+
+
+def q_unique_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "lineitem")
+    dups = duplicate_keys_df(df, "l_orderkey")
+    return dups.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.coalesce(F.sum("dup_cnt"), F.lit(0)).cast("long").alias("dup_rows"),
+    )
+
+
+SQL_UNIQUE_LINEITEM = """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS dup_keys,
+       CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS dup_rows
+FROM c WHERE cnt > 1
+"""
+
+
+def q_unique_tokens_docid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = tokens_from_documents(spark, sf_dir)
+    dups = duplicate_keys_df(df, "doc_id")
+    return dups.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.coalesce(F.sum("dup_cnt"), F.lit(0)).cast("long").alias("dup_rows"),
+    )
+
+
+SQL_UNIQUE_TOKENS_DOCID = f"""
+WITH {TOKENS_SQL_CTE},
+c AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM tokens_tbl WHERE doc_id IS NOT NULL GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS dup_keys,
+       CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS dup_rows
+FROM c WHERE cnt > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. referential integrity: broadcast left-anti join
+# ---------------------------------------------------------------------------
+
+
+def q_ref_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    viol = ref_violations_df(events, "user_id", customer, "c_custkey")
+    return viol.agg(F.count(F.lit(1)).alias("violation_rows"))
+
+
+SQL_REF_EVENTS_USERS = """
+SELECT CAST(count(*) AS BIGINT) AS violation_rows
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
+def q_ref_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The violating keys themselves (grouped, so the result is small and
+    order-free)."""
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    viol = ref_violations_df(events, "user_id", customer, "c_custkey")
+    return viol.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+SQL_REF_VIOLATION_ROWS = """
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+GROUP BY e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. drift: fixed-bin histogram + PSI/KS between two halves of events
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 25
+_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+
+def q_hist_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.drift import numeric_histogram_df
+
+    events = _read(spark, sf_dir, "events")
+    return numeric_histogram_df(events, "value", HIST_LO, HIST_HI, HIST_BINS)
+
+
+SQL_HIST_EVENTS_VALUE = f"""
+SELECT CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO}) / {_W}), 0),
+            {HIST_BINS - 1}) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_psi_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + KS between even/odd event_id halves, on the shared fixed bins.
+    Values rounded to 6 dp so cross-engine double-summation order can't
+    flip the hash."""
+    from data_linter_spark.checks.drift import (
+        ks_statistic,
+        numeric_histogram,
+        psi,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    a = numeric_histogram(
+        events.filter(F.col("event_id") % 2 == 0), "value", HIST_LO, HIST_HI,
+        HIST_BINS,
+    )
+    b = numeric_histogram(
+        events.filter(F.col("event_id") % 2 == 1), "value", HIST_LO, HIST_HI,
+        HIST_BINS,
+    )
+    return spark.createDataFrame(
+        [(round(psi(a, b), 6), round(ks_statistic(a, b), 6))],
+        "psi double, ks double",
+    )
+
+
+SQL_PSI_EVENTS_SPLIT = f"""
+WITH bins AS (SELECT unnest(range(0, {HIST_BINS})) AS bucket),
+h AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO}) / {_W}), 0),
+              {HIST_BINS - 1}) AS INTEGER) AS bucket,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT b.bucket,
+         COALESCE(h.ca, 0) / (SELECT SUM(ca) FROM h) AS p,
+         COALESCE(h.cb, 0) / (SELECT SUM(cb) FROM h) AS q
+  FROM bins b LEFT JOIN h ON b.bucket = h.bucket
+),
+c AS (
+  SELECT p, q,
+         SUM(p) OVER (ORDER BY bucket) AS cp,
+         SUM(q) OVER (ORDER BY bucket) AS cq
+  FROM j
+)
+SELECT ROUND(SUM((q - p) * LN((q + 1e-6) / (p + 1e-6))), 6) AS psi,
+       ROUND(MAX(ABS(cp - cq)), 6) AS ks
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. exact dedup on documents (hash-groupBy; md5 is cross-engine)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("dup_docs"),
+    )
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+WITH g AS (
+  SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+       CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS dup_docs
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. text analysis: whitespace token counts per source
+# ---------------------------------------------------------------------------
+
+
+def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BY_SOURCE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. similarity search: brute-force cosine top-k (baseline ANN)
+# ---------------------------------------------------------------------------
+
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return cosine_topk(
+        queries, emb, "q_emb", "embedding", "query_id", "vec_id", k=ANN_K
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
+       ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "suite_lineitem": q_suite_lineitem,
+        "suite_tokens": q_suite_tokens,
+        "verdicts_by_source": q_verdicts_by_source,
+        "unique_lineitem": q_unique_lineitem,
+        "unique_tokens_docid": q_unique_tokens_docid,
+        "ref_events_users": q_ref_events_users,
+        "ref_violation_rows": q_ref_violation_rows,
+        "hist_events_value": q_hist_events_value,
+        "psi_events_split": q_psi_events_split,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_count_by_source": q_token_count_by_source,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "suite_lineitem": SQL_SUITE_LINEITEM,
+        "suite_tokens": SQL_SUITE_TOKENS,
+        "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
+        "unique_lineitem": SQL_UNIQUE_LINEITEM,
+        "unique_tokens_docid": SQL_UNIQUE_TOKENS_DOCID,
+        "ref_events_users": SQL_REF_EVENTS_USERS,
+        "ref_violation_rows": SQL_REF_VIOLATION_ROWS,
+        "hist_events_value": SQL_HIST_EVENTS_VALUE,
+        "psi_events_split": SQL_PSI_EVENTS_SPLIT,
+        "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+        "token_count_by_source": SQL_TOKEN_COUNT_BY_SOURCE,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    }

@@ -1,0 +1,129 @@
+"""Deterministic synthetic tokens table — the engine's canonical input.
+
+The graft's canonical input is an Iceberg table of pre-tokenized training
+sequences ``(doc_id: string, tokens: array<int32>, n_tok: int32,
+source: string)``. This module synthesizes it deterministically:
+
+- ``tokens_from_documents``: derives the table from the driver-provided
+  ``documents`` parquet with PURE ARITHMETIC (no randomness, no UDFs), so a
+  SQL oracle (DuckDB) can derive the byte-identical table from the same
+  parquet — see ``TOKENS_SQL_CTE``.
+- ``synthetic_tokens``: scales to arbitrary row counts via ``spark.range``
+  for benchmarking (same arithmetic, seeded by row id).
+
+Token recipe (identical in Spark and ANSI SQL):
+    n_tok      = (n_chars % 197) + 1
+    tokens[i]  = (doc_id * 31 + i * 7) % 50257        for i in 0..n_tok-1
+    doc_id_str = 'doc-' || doc_id
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB_SIZE = 50257
+MAX_TOK = 197
+
+_TOKENS_EXPR = (
+    "transform(sequence(0, cast(n_chars % 197 as int)), "
+    "i -> cast((doc_id * 31 + i * 7) % 50257 as int))"
+)
+
+# DuckDB CTE producing the identical table from the same documents parquet
+# (range(0, n) is exclusive-end in DuckDB => n elements)
+TOKENS_SQL_CTE = """
+tokens_tbl AS (
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+           list_transform(
+               range(0, CAST(n_chars % 197 AS INTEGER) + 1),
+               i -> CAST((doc_id * 31 + i * 7) % 50257 AS INTEGER)
+           ) AS tokens,
+           CAST((n_chars % 197) + 1 AS INTEGER) AS n_tok,
+           source
+    FROM documents
+)
+"""
+
+
+def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the tokens table from ``{sf_dir}/documents.parquet``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.expr(_TOKENS_EXPR).alias("tokens"),
+        ((F.col("n_chars") % MAX_TOK) + 1).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+def synthetic_tokens(
+    spark: SparkSession,
+    n_rows: int,
+    n_partitions: int | None = None,
+    dup_every: int = 1000,
+    skew_pct: int = 30,
+) -> DataFrame:
+    """Benchmark-scale tokens table from ``spark.range`` — no input data, no
+    randomness (safe for resume), generated IN PARALLEL on executors.
+
+    ``dup_every``: every k-th row reuses the previous row's doc_id (plants
+    uniqueness violations). ``skew_pct``: percent of rows assigned to one hot
+    ``source`` value, modelling the skewed source column the north_rule
+    demands explicit handling for."""
+    rng = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    base_id = F.when(
+        (F.col("id") % dup_every == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    n_chars = (F.col("id") * 2654435761 % 20000).cast("long")
+    src = F.when(
+        F.col("id") % 100 < skew_pct, F.lit("common_crawl")
+    ).otherwise(
+        F.concat(F.lit("source_"), (F.col("id") % 37).cast("string"))
+    )
+    return rng.select(
+        F.concat(F.lit("doc-"), base_id.cast("string")).alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, cast(id % 197 as int)), "
+            "i -> cast((id * 31 + i * 7) % 50257 as int))"
+        ).alias("tokens"),
+        ((F.col("id") % MAX_TOK) + 1).cast("int").alias("n_tok"),
+        src.alias("source"),
+        n_chars.alias("n_chars"),
+    ).drop("n_chars")
+
+
+def tokens_metadata(strict: bool = False) -> dict:
+    """Constraint metadata for the tokens table (SURVEY.md §1.4): bounds on
+    n_tok and on token VALUES, length bounds on the array, enum/pattern on
+    source/doc_id, non-nullable everywhere, unique doc_id."""
+    return {
+        "name": "tokens",
+        "file_format": "parquet",
+        "columns": [
+            {
+                "name": "doc_id",
+                "type": "string",
+                "nullable": False,
+                "pattern": r"doc-\d+",
+                "unique": True,
+            },
+            {
+                "name": "tokens",
+                "type": "list<int32>",
+                "nullable": False,
+                "minimum": 0,
+                "maximum": VOCAB_SIZE - 1,
+                "minLength": 1,
+                "maxLength": MAX_TOK,
+            },
+            {
+                "name": "n_tok",
+                "type": "int32",
+                "nullable": False,
+                "minimum": 1,
+                "maximum": 150 if strict else MAX_TOK,
+            },
+            {"name": "source", "type": "string", "nullable": False},
+        ],
+    }

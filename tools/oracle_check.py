@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count + sorted-column value multiset. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:28s} ROWS-ONLY rows={len(s_rows)}")
+            continue
+        res = con.execute(oracles[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        sc, sr = norm_rows(s_cols, s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        ok = sc == dc and sr == dr
+        n_pass += ok
+        n_fail += not ok
+        print(f"{name:28s} {'PASS' if ok else 'FAIL'} rows={len(s_rows)}")
+        if not ok:
+            if sc != dc:
+                print(f"  cols spark={sc}\n  cols duck ={dc}")
+            else:
+                sset, dset = set(sr), set(dr)
+                for x in list(sset - dset)[:3]:
+                    print(f"  spark-only: {x}")
+                for x in list(dset - sset)[:3]:
+                    print(f"  duck-only : {x}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
