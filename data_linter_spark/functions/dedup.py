@@ -1,0 +1,326 @@
+"""Deduplication for training-data pipelines.
+
+Five families (SURVEY-mandated training-pipeline ops):
+
+- **exact**: hash-groupBy on content (see queries.q_dedup_exact_documents)
+- **n-gram Jaccard**: word-shingle sets, candidate pairs by shared shingle,
+  exact Jaccard verify
+- **MinHash + LSH**: per-doc signatures -> banded buckets -> bucket join ->
+  Jaccard verify. All hashing is CROSS-ENGINE PORTABLE (md5 -> first 8 hex
+  digits -> int via fixed positional arithmetic -> affine permutations mod
+  a Mersenne prime), so a DuckDB oracle can reproduce signatures bit-for-bit.
+- **SimHash**: 64-bit sign-aggregated xxhash64 over shingles (Spark-native;
+  rows-only correctness check — xxhash64 is not portable to DuckDB)
+- **embedding cosine near-dup**: self-join above a cosine threshold
+  (brute force baseline; LSH-bucketed scale path in functions/similarity.py)
+
+Scale notes (100 TB): the shingle explode is a map-side flatMap (no shuffle);
+signature computation is ONE groupBy(doc) with n_hashes min-aggregations
+(partial aggregation map-side); the LSH bucket join shuffles only
+(band_idx, band_key) pairs — the whole point of banding is that this join's
+fan-out is the collision volume, not |docs|^2. Exact-Jaccard verify touches
+only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1; keeps a*x + b inside int64
+
+
+def _lcg_stream(seed: int):
+    state = seed
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        yield state >> 33
+
+
+def minhash_perms(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine permutation constants (a odd, in [1, p))."""
+    g = _lcg_stream(seed)
+    perms = []
+    for _ in range(n_hashes):
+        a = (next(g) % (MERSENNE_P - 1)) | 1
+        b = next(g) % MERSENNE_P
+        perms.append((a, b))
+    return perms
+
+
+# -- portable shingle ids ---------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def hex8_to_long(hexcol: Column) -> Column:
+    """First 8 hex digits of a hash string -> BIGINT in [0, 2^32), by fixed
+    positional arithmetic (no hex-parse builtin needed => same SQL works in
+    DuckDB)."""
+    total = F.lit(0).cast("long")
+    for i in range(8):
+        digit = F.instr(F.lit(_HEX), F.substring(hexcol, i + 1, 1)) - 1
+        total = total + digit.cast("long") * F.lit(16 ** (7 - i)).cast("long")
+    return total
+
+
+def sql_hex8_to_long(hexpr: str) -> str:
+    """The identical expression in ANSI/DuckDB SQL."""
+    terms = [
+        f"(strpos('{_HEX}', substr({hexpr}, {i + 1}, 1)) - 1) "
+        f"* CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def shingle_id(shingle: Column) -> Column:
+    """Portable shingle id: md5 -> hex8 -> long -> mod p."""
+    return hex8_to_long(F.md5(shingle.cast("binary"))) % F.lit(MERSENNE_P)
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle). Docs with fewer
+    than n words contribute no shingles. Map-side only — no shuffle until
+    the per-doc distinct."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# -- minhash ----------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) — one groupBy with n_hashes min-aggregations."""
+    sid = shingle_id(F.col("shingle")).alias("sid")
+    with_sid = shingles.select("id", sid)
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MERSENNE_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_perms(n_hashes, seed))
+    ]
+    return with_sid.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Melt signatures to (id, band_idx, band_key): band_key concatenates the
+    band's minhash values."""
+    pieces = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        pieces.append(
+            signatures.select(
+                "id", F.lit(b).alias("band_idx"), key.alias("band_key")
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket."""
+    b = lsh_bands(signatures, bands, rows_per_band)
+    left = b.select(
+        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_a")
+    )
+    right = b.select(
+        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_b")
+    )
+    return (
+        left.join(right, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# -- exact jaccard verify ---------------------------------------------------
+
+
+def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for given candidate pairs."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(shingles.withColumnRenamed("id", "id_a"), on="id_a")
+        .join(
+            shingles.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            on="id_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Direct near-dup detection: candidates = pairs sharing ANY shingle
+    (shingle-join), verified with exact Jaccard. Quadratic only within
+    shingle buckets — for corpora with hot shingles prefer
+    minhash_near_dups."""
+    sh = word_shingles(df, id_col, text_col, n)
+    left = sh.select(F.col("id").alias("id_a"), "shingle")
+    right = sh.select(F.col("id").alias("id_b"), "shingle")
+    cands = (
+        left.join(right, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(sh, cands).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Full pipeline: shingles -> signatures -> LSH buckets -> candidate
+    pairs -> exact Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, n_hashes, seed)
+    cands = lsh_candidate_pairs(sig, bands, rows_per_band)
+    return jaccard_for_pairs(sh, cands).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """64-bit SimHash over word shingles: bit k of the fingerprint is the
+    sign of the sum over shingles of (2*bit_k(xxhash64(shingle)) - 1).
+    One explode + one groupBy with 64 sum-aggregations (all JVM-side)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    h = F.xxhash64(F.col("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"b{k}")
+        for k in range(64)
+    ]
+    sums = sh.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for k in range(63):  # keep bit 63 clear: fingerprint stays non-negative
+        fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(2**k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    block trick: split the 63 used bits into (max_hamming+1) blocks — any
+    pair within distance k agrees exactly on >= 1 block — join per block,
+    verify with popcount. Avoids the full self-join."""
+    fps = simhash64(df, id_col, text_col, n)
+    n_blocks = max_hamming + 1
+    width = 63 // n_blocks + 1
+    pieces = []
+    for blk in range(n_blocks):
+        key = F.shiftright(F.col("simhash"), blk * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        pieces.append(
+            fps.select(
+                "id", F.col("simhash"), F.lit(blk).alias("blk"), key.alias("key")
+            )
+        )
+    melted = pieces[0]
+    for p in pieces[1:]:
+        melted = melted.unionAll(p)
+    left = melted.select(
+        "blk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    right = melted.select(
+        "blk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    cands = (
+        left.join(right, on=["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (exact self-join baseline;
+    for large corpora use functions.similarity.cosine_topk_lsh buckets)."""
+    from data_linter_spark.functions.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )

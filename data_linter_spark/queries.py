@@ -426,7 +426,10 @@ FROM ranked WHERE rk <= {ANN_K}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from data_linter_spark.queries_dedup import DEDUP_QUERIES
+
     return {
+        **DEDUP_QUERIES,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
         "verdicts_by_source": q_verdicts_by_source,
@@ -443,7 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_linter_spark.queries_dedup import DEDUP_ORACLES
+
     return {
+        **DEDUP_ORACLES,
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,

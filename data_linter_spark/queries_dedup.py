@@ -1,0 +1,347 @@
+"""Dedup + text-analysis queries with DuckDB oracles.
+
+Near-dup queries run over a corpus with DETERMINISTICALLY PLANTED near
+duplicates (documents ∪ mutated copies of every 25th doc), derived
+identically in Spark and SQL, so the pipelines demonstrably FIND the planted
+pairs rather than returning empty sets. MinHash constants and the portable
+hex8 arithmetic are shared between the Spark implementation and the
+generated oracle SQL (single source of truth in functions/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions import dedup as dd
+from data_linter_spark.functions import text as tx
+
+MUT_EVERY = 25
+MUT_OFFSET = 10_000
+MUT_TAIL = " mutated tail tokens"
+
+N_HASHES, BANDS, ROWS_PER_BAND = 32, 8, 4
+MIN_JACCARD = 0.6
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mutated = docs.filter(F.col("doc_id") % MUT_EVERY == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MUT_TAIL)).alias("text"),
+    )
+    return docs.unionAll(mutated)
+
+
+SQL_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET} AS doc_id, text || '{MUT_TAIL}' AS text
+  FROM documents WHERE doc_id % {MUT_EVERY} = 0
+)
+"""
+
+SQL_SHINGLES_CTE = """
+words AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM corpus),
+shingles AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(0, len(w) - 2),
+                  i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+    FROM words WHERE len(w) >= 3
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH near-dup (full oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.minhash_near_dups(
+        _corpus(spark, sf_dir), "doc_id", "text",
+        n_hashes=N_HASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        min_jaccard=MIN_JACCARD,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_minhash() -> str:
+    perms = dd.minhash_perms(N_HASHES)
+    p = dd.MERSENNE_P
+    sid = dd.sql_hex8_to_long("md5(shingle)") + f" % {p}"
+    mh_cols = ",\n         ".join(
+        f"min(({a} * sid + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(perms)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT id, {b} AS band_idx, {key} AS band_key FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {SQL_CORPUS_CTE.strip()},
+{SQL_SHINGLES_CTE.strip()},
+sids AS (SELECT id, {sid} AS sid FROM shingles),
+sigs AS (
+  SELECT id,
+         {mh_cols}
+  FROM sids GROUP BY id
+),
+bands AS (
+  {bands_sql}
+),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.id = i.id_a
+JOIN sizes zb ON zb.id = i.id_b
+WHERE i.inter / (za.sz + zb.sz - i.inter) >= {MIN_JACCARD}
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash()
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard near-dup (full oracle, no LSH — candidates by shared shingle)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", min_jaccard=MIN_JACCARD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {SQL_CORPUS_CTE.strip()},
+{SQL_SHINGLES_CTE.strip()},
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.id = i.id_a
+JOIN sizes zb ON zb.id = i.id_b
+WHERE i.inter / (za.sz + zb.sz - i.inter) >= {MIN_JACCARD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup (rows-only: xxhash64 is not portable to DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dups(
+        _corpus(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup over corpus with planted identical copies
+# ---------------------------------------------------------------------------
+
+EMB_MUT_EVERY = 50
+EMB_MIN_COS = 0.99
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % EMB_MUT_EVERY == 0).select(
+        (F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+    out = dd.embedding_near_dups(corpus, "vec_id", "embedding", EMB_MIN_COS)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {MUT_OFFSET}, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id % {EMB_MUT_EVERY} = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_MIN_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text quality + language id (full oracles, generated from shared constants)
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(tx.quality_score(c)), 4).alias("avg_quality"),
+        F.round(F.avg(tx.punct_ratio(c)), 4).alias("avg_punct"),
+        F.round(F.avg(tx.stopword_ratio(c)), 4).alias("avg_stopword"),
+        F.round(F.avg(tx.mean_word_length(c)), 4).alias("avg_word_len"),
+    )
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"((length({padded}) - length(replace({padded}, ' {n} ', ''))) "
+        f"/ {len(needle) + 2})"
+    )
+
+
+def _sql_text_quality() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    ws = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
+          "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+    sw_hits = " + ".join(
+        _sql_occurrences(padded, w) for w in tx.EN_STOPWORDS
+    )
+    sw_ratio = f"(({sw_hits}) / GREATEST({ws}, 1))"
+    punct = ("(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+             "/ GREATEST(length(text), 1))")
+    mwl = (f"(length(regexp_replace(text, '\\s+', '', 'g')) "
+           f"/ GREATEST({ws}, 1))")
+    quality = (
+        f"((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {sw_ratio} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0)"
+    )
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(AVG({quality}), 4) AS avg_quality,
+       ROUND(AVG({punct}), 4) AS avg_punct,
+       ROUND(AVG({sw_ratio}), 4) AS avg_stopword,
+       ROUND(AVG({mwl}), 4) AS avg_word_len
+FROM documents
+GROUP BY source
+"""
+
+
+SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(tx.lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _sql_lang_id() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score_exprs = {}
+    for lang in sorted(tx.LANG_MARKERS):
+        score_exprs[lang] = (
+            "(" + " + ".join(
+                _sql_occurrences(padded, w) for w in tx.LANG_MARKERS[lang]
+            ) + ")"
+        )
+    greatest = "GREATEST(" + ", ".join(score_exprs.values()) + ")"
+    case = "CASE"
+    for lang in sorted(tx.LANG_MARKERS):
+        case += (f" WHEN {score_exprs[lang]} = {greatest} "
+                 f"AND {greatest} > 0 THEN '{lang}'")
+    case += " ELSE 'und' END"
+    return f"""
+SELECT {case} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint groups (md5 portable variant)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(
+            tx.content_fingerprint_md5(F.col("text")).alias("fingerprint")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_fingerprints"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_dup_groups"),
+        )
+    )
+
+
+SQL_FINGERPRINT = """
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
+             '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS distinct_fingerprints,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS docs_in_dup_groups
+FROM fp
+"""
+
+
+DEDUP_QUERIES = {
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "text_quality_by_source": q_text_quality_by_source,
+    "lang_id_counts": q_lang_id_counts,
+    "fingerprint_documents": q_fingerprint_documents,
+}
+
+DEDUP_ORACLES = {
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    # dedup_simhash: rows-only (xxhash64 not reproducible in DuckDB)
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "text_quality_by_source": SQL_TEXT_QUALITY,
+    "lang_id_counts": SQL_LANG_ID,
+    "fingerprint_documents": SQL_FINGERPRINT,
+}

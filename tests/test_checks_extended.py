@@ -1,0 +1,248 @@
+"""Unit tests: uniqueness, referential, drift, dedup, similarity, text.
+
+These are the graft-extension checks the reference declares but never
+implements (unique — reference tests/data/inputs/basic_meta_data.json:13)
+or lacks entirely (referential/drift/dedup — SURVEY.md §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_linter_spark.checks.drift import (
+    HistogramProfile,
+    baseline_from_df,
+    ks_statistic,
+    numeric_histogram,
+    psi,
+    token_histogram,
+)
+from data_linter_spark.checks.referential import (
+    ref_violations_df,
+    referential_test_result,
+)
+from data_linter_spark.checks.unique import (
+    duplicate_stats,
+    screen_verdict,
+    unique_test_result,
+)
+
+
+def test_duplicate_stats(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",), (None,), (None,)], "k string"
+    )
+    n_keys, n_rows = duplicate_stats(df, "k")
+    assert (n_keys, n_rows) == (1, 3)  # 'a' x3; nulls ignored
+
+
+def test_unique_test_result_valid(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    res = unique_test_result(df, "k")
+    assert res["valid"] is True
+
+
+def test_unique_test_result_invalid(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (2,)], "k int")
+    res = unique_test_result(df, "k", total_rows=4)
+    assert res["valid"] is False
+    assert res["duplicate_keys"] == 1
+    assert res["duplicate_rows"] == 3
+    assert res["percentage_of_column_is_error"] == pytest.approx(75.0)
+
+
+def test_screen_verdict():
+    assert screen_verdict(1000, 400) == "dups_certain"
+    assert screen_verdict(1000, 990) == "probably_unique"
+
+
+def test_referential(spark):
+    fact = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (99, "z"), (None, "w")], "fk int, v string"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    viol = ref_violations_df(fact, "fk", dim, "pk").collect()
+    assert [r["fk"] for r in viol] == [99]  # null fk is not a violation
+    res = referential_test_result(fact, "fk", dim, "pk", "dim", total_rows=4)
+    assert res["valid"] is False
+    assert res["violation_rows"] == 1
+    assert res["percentage_of_column_is_error"] == pytest.approx(25.0)
+
+
+def test_referential_valid(spark):
+    fact = spark.createDataFrame([(1,), (2,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    assert referential_test_result(fact, "fk", dim, "pk")["valid"] is True
+
+
+def test_histogram_and_psi(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    h = numeric_histogram(df, "v", 0.0, 100.0, 10)
+    assert h.counts == [100.0] * 10
+    assert psi(h, h) == pytest.approx(0.0)
+    assert ks_statistic(h, h) == pytest.approx(0.0)
+    shifted = HistogramProfile(0.0, 100.0, 10, [0.0] * 5 + [200.0] * 5)
+    assert psi(h, shifted) > 0.5
+    assert ks_statistic(h, shifted) == pytest.approx(0.5)
+
+
+def test_histogram_clamps_overflow(spark):
+    df = spark.createDataFrame([(-5.0,), (50.0,), (500.0,)], "v double")
+    h = numeric_histogram(df, "v", 0.0, 100.0, 10)
+    assert h.counts[0] == 1.0 and h.counts[5] == 1.0 and h.counts[9] == 1.0
+
+
+def test_token_histogram(spark):
+    df = spark.createDataFrame(
+        [([0, 1, 2],), ([100, 100],), (None,)],
+        "tokens array<int>",
+    )
+    h = token_histogram(df, "tokens", vocab_size=256, n_bins=4)
+    # fold = 64: tokens 0,1,2 -> bin0 (x3); 100 -> bin1 (x2)
+    assert h.counts == [3.0, 2.0, 0.0, 0.0]
+
+
+def test_baseline_from_df_autorange(spark):
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    h = baseline_from_df(df, "v", n_bins=4)
+    assert sum(h.counts) == 100.0
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_word_shingles(spark):
+    from data_linter_spark.functions.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y")], "id int, text string"
+    )
+    rows = word_shingles(df, "id", "text", 3).collect()
+    got = {(r["id"], r["shingle"]) for r in rows}
+    assert got == {(1, "a b c"), (1, "b c d")}  # doc 2 too short
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from data_linter_spark.functions.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, "completely different words describing another topic entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    mh = {(r["id_a"], r["id_b"]) for r in
+          minhash_near_dups(df, "id", "text", min_jaccard=0.5).collect()}
+    ng = {(r["id_a"], r["id_b"]) for r in
+          ngram_jaccard_pairs(df, "id", "text", min_jaccard=0.5).collect()}
+    assert (1, 2) in mh
+    assert mh == ng  # LSH recall == exact at this similarity
+
+
+def test_simhash_identical_and_different(spark):
+    from data_linter_spark.functions.dedup import simhash_near_dups
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "alpha beta gamma delta epsilon zeta eta")],
+        "id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(df, "id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    from data_linter_spark.functions.dedup import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "id int, v array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(df, "id", "v", 0.99).collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_topk(spark):
+    from data_linter_spark.functions.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "id int, v array<float>",
+    )
+    q = corpus.filter(F.col("id") == 1).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    rows = cosine_topk(q, corpus, "qv", "v", "qid", "id", k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rk"])] == [2, 3]
+
+
+def test_lsh_topk_matches_exact_on_easy_corpus(spark):
+    from data_linter_spark.functions.similarity import cosine_topk_lsh
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.9, 0.2])],
+        "id int, v array<float>",
+    )
+    q = corpus.filter(F.col("id") == 1).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    rows = cosine_topk_lsh(q, corpus, "qv", "v", "qid", "id", dim=2, k=2,
+                           n_planes=2).collect()
+    assert len(rows) >= 1  # same-direction vectors share buckets
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_ws_token_count(spark):
+    from data_linter_spark.functions.text import ws_token_count
+
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], "t string"
+    )
+    got = [r[0] for r in df.select(ws_token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_lang_id(spark):
+    from data_linter_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund ist nicht da und der mann",),
+            ("el gato es de la casa que veo",),
+            ("zzz qqq www",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_quality_score_range(spark):
+    from data_linter_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [("the cat and the dog is on the mat with a hat and a bat for fun",),
+         ("!!!! ???? ####",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(quality_score(F.col("t"))).collect()]
+    assert got[0] > got[1]
+    assert all(0.0 <= g <= 1.0 for g in got)
+
+
+def test_content_fingerprint_normalizes(spark):
+    from data_linter_spark.functions.text import content_fingerprint_md5
+
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",)], "t string"
+    )
+    a, b = [r[0] for r in df.select(content_fingerprint_md5(F.col("t"))).collect()]
+    assert a == b
