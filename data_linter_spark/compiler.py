@@ -64,6 +64,21 @@ class ConstraintPlan:
         per-Iceberg-partition verdicts, SURVEY.md §3.3)."""
         return self.df.groupBy(*group_cols).agg(*self.agg_exprs())
 
+    def salted_grouped_verdict_df(
+        self, group_cols: list[str], salt_buckets: int = 32
+    ) -> DataFrame:
+        """Two-stage skew-salted grouped verdict: stage 1 groups by
+        (group_cols, salt) so one hot group value (the skewed ``source``
+        column per the north_rule) cannot concentrate on a single reducer;
+        stage 2 re-aggregates the partial counters by group alone. All
+        verdict counters are sums/counts, so re-aggregation is exact."""
+        salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt")
+        stage1 = self.df.groupBy(*group_cols, salt).agg(*self.agg_exprs())
+        second = [F.sum(TOTAL_ALIAS).alias(TOTAL_ALIAS)] + [
+            F.sum(s.alias).alias(s.alias) for s in self.specs
+        ]
+        return stage1.groupBy(*group_cols).agg(*second)
+
     # -- execution ----------------------------------------------------
     def run(self, response: Optional[ValidatorResult] = None) -> ValidatorResult:
         """Execute the fused pass and fill a ValidatorResult with the exact

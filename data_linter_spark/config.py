@@ -1,0 +1,111 @@
+"""Run-configuration model: load, validate, normalize.
+
+Re-expresses the reference's config handling
+(reference data_linter/validation.py:64-144 + the JSON Schema at
+data_linter/schemas/config-schema.json) as programmatic checks — same keys,
+same dash/underscore aliasing, same expect-header fixup."""
+
+from __future__ import annotations
+
+from typing import Union
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+BASE_PARAMS = [
+    "land_base_path",
+    "fail_base_path",
+    "pass_base_path",
+    "log_base_path",
+    "compress_data",
+    "remove_tables_on_pass",
+    "all_must_pass",
+    "fail_unknown_files",
+    "timestamp_partition_name",
+    "validator_engine",
+    "validator_engine_params",
+    "iam_role_name",
+    "run_parallel",
+]
+TABLE_PARAMS = [
+    "expect_header",
+    "headers_ignore_case",
+    "pandas_kwargs",
+    "row_limit",
+    "only_test_cols_in_metadata",
+    "allow_missing_cols",
+    "allow_unexpected_data",
+]
+
+REQUIRED_KEYS = ["land-base-path", "log-base-path", "tables"]
+VALID_ENGINES = {"pandas", "parquet", "spark", "spark-schema"}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _replace_underscores(config: dict) -> dict:
+    """dash/underscore key aliasing (reference validation.py:80-120)."""
+    for param in BASE_PARAMS:
+        if param in config:
+            config[param.replace("_", "-")] = config.pop(param)
+    for table_name in config.get("tables", {}):
+        tp = config["tables"][table_name]
+        for param in TABLE_PARAMS:
+            if param in tp:
+                tp[param.replace("_", "-")] = tp.pop(param)
+    return config
+
+
+def validate_config(config: dict) -> dict:
+    """Structural validation (the reference uses jsonschema against
+    config-schema.json; same constraints expressed directly)."""
+    if not isinstance(config, dict):
+        raise ConfigError("config must be a dict")
+    config = _replace_underscores(config)
+    for key in REQUIRED_KEYS:
+        if key not in config:
+            raise ConfigError(f"config missing required key: {key}")
+    if not isinstance(config["tables"], dict) or not config["tables"]:
+        raise ConfigError("config 'tables' must be a non-empty mapping")
+    engine = config.get("validator-engine", "spark")
+    if engine not in VALID_ENGINES:
+        raise ConfigError(f"unknown validator-engine: {engine}")
+    for flag in ("compress-data", "remove-tables-on-pass", "all-must-pass"):
+        if flag in config and not isinstance(config[flag], bool):
+            raise ConfigError(f"config '{flag}' must be a bool")
+    for table_name, tp in config["tables"].items():
+        if not isinstance(tp, dict):
+            raise ConfigError(f"table '{table_name}' params must be a mapping")
+        if "row-limit" in tp and not isinstance(tp["row-limit"], int):
+            raise ConfigError(f"table '{table_name}' row-limit must be an int")
+        for flag in (
+            "required",
+            "expect-header",
+            "headers-ignore-case",
+            "allow-missing-cols",
+            "allow-unexpected-data",
+        ):
+            if flag in tp and not isinstance(tp[flag], bool):
+                raise ConfigError(f"table '{table_name}' {flag} must be a bool")
+        # expect-header fixup (reference validation.py:136-143)
+        if (not tp.get("expect-header")) and tp.get("headers-ignore-case"):
+            tp["expect-header"] = True
+    return config
+
+
+def load_and_validate_config(config: Union[str, dict] = "config.yaml") -> dict:
+    """reference validation.py:64-77."""
+    if isinstance(config, str):
+        if yaml is None:
+            raise ImportError("pyyaml not available for config files")
+        with open(config) as f:
+            config = yaml.safe_load(f)
+    elif isinstance(config, dict):
+        pass
+    else:
+        raise TypeError("Input 'config' must be a str or dict.")
+    return validate_config(config)

@@ -1,0 +1,164 @@
+"""Per-partition checkpoint manifest + resume.
+
+The reference's parallel protocol collects per-file status JSONs in an S3
+temp filesystem and has NO resume — a crashed worker just leaves status
+files absent (reference data_linter/validation.py:450-495, 652-775;
+SURVEY.md §3.3). Here every validated partition writes one atomic manifest
+record ``(partition_id, status, metrics, lineage, engine_version, ts)``;
+a restarted run anti-joins the partition list against the manifest and
+validates ONLY the remainder, in batches, each batch one Spark job over a
+partition-pruned scan.
+
+Batching trades job count against checkpoint granularity: at 10^12 rows you
+want neither one job per partition (thousands of tiny jobs) nor one giant
+job with no checkpoint. Within a batch the verdict is ONE grouped
+aggregation over all its partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark import __version__
+from data_linter_spark.compiler import TOTAL_ALIAS, ConstraintPlan
+from data_linter_spark.metadata import Metadata
+
+
+class PartitionManifest:
+    """Append-only manifest: one JSON file per partition, written atomically
+    (tmp + rename) so a killed run never leaves a half-record."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _rec_path(self, partition_id: str) -> str:
+        safe = str(partition_id).replace("/", "_").replace("=", "_")
+        return os.path.join(self.path, f"part-{safe}.json")
+
+    def done_partitions(self) -> set[str]:
+        done = set()
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.path, f)) as fh:
+                    rec = json.load(fh)
+                if rec.get("status") in ("pass", "fail"):
+                    done.add(rec["partition_id"])
+        return done
+
+    def record(
+        self,
+        partition_id: str,
+        status: str,
+        metrics: dict,
+        lineage: Optional[dict] = None,
+    ) -> None:
+        rec = {
+            "partition_id": str(partition_id),
+            "status": status,
+            "metrics": metrics,
+            "lineage": lineage or {},
+            "engine_version": __version__,
+            "ts": time.time(),
+        }
+        tmp = self._rec_path(partition_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._rec_path(partition_id))
+
+    def records(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.path)):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.path, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Manifest as a DataFrame for verdict exploration (the graft's
+        log_explorer, SURVEY.md §2.8)."""
+        rows = [
+            (
+                r["partition_id"],
+                r["status"],
+                json.dumps(r["metrics"]),
+                r["engine_version"],
+                float(r["ts"]),
+            )
+            for r in self.records()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition_id string, status string, metrics string, "
+            "engine_version string, ts double",
+        )
+
+
+def _chunks(items: list, size: int):
+    for i in range(0, len(items), size):
+        yield items[i : i + size]
+
+
+def validate_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    metadata: Metadata,
+    partition_col: str,
+    manifest: PartitionManifest,
+    batch_size: int = 64,
+    salted: bool = True,
+    salt_buckets: int = 32,
+    lineage: Optional[dict] = None,
+) -> dict:
+    """Validate ``df`` per distinct ``partition_col`` value with checkpoint/
+    resume. Returns a summary; per-partition verdicts land in the manifest.
+
+    Resume: partitions already 'pass'/'fail' in the manifest are skipped —
+    the filter reaches the scan (partition pruning on a partitioned layout).
+    """
+    plan = ConstraintPlan(df, metadata)
+    all_parts = [
+        str(r[0])
+        for r in df.select(partition_col).distinct().collect()
+    ]
+    done = manifest.done_partitions()
+    todo = sorted(p for p in all_parts if p not in done)
+
+    n_validated = 0
+    for batch in _chunks(todo, batch_size):
+        sub = df.filter(F.col(partition_col).cast("string").isin(batch))
+        bplan = ConstraintPlan(sub, metadata)
+        if salted:
+            verdicts = bplan.salted_grouped_verdict_df(
+                [partition_col], salt_buckets
+            )
+        else:
+            verdicts = bplan.grouped_verdict_df([partition_col])
+        for row in verdicts.collect():
+            d = row.asDict()
+            pid = str(d.pop(partition_col))
+            total = d.pop(TOTAL_ALIAS)
+            counters = {k: int(v or 0) for k, v in d.items()}
+            valid = all(v == 0 for v in counters.values())
+            manifest.record(
+                pid,
+                "pass" if valid else "fail",
+                {"rows": int(total), "violations": counters},
+                lineage,
+            )
+            n_validated += 1
+
+    recs = manifest.records()
+    return {
+        "partitions_total": len(all_parts),
+        "partitions_skipped_resume": len(done),
+        "partitions_validated": n_validated,
+        "all_passed": all(r["status"] == "pass" for r in recs),
+        "manifest_path": manifest.path,
+    }

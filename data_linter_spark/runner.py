@@ -1,0 +1,256 @@
+"""End-to-end validation runner: config -> match files -> validate each ->
+route pass/fail -> per-table JSON verdict logs.
+
+Re-expresses the reference lifecycle (reference data_linter/validation.py:
+147-209 match, 390-447 validate, 498-649 collect/route) with Spark
+validators. Path routing, out-path construction and the all-must-pass raise
+reproduce the reference's observable behavior; the reference's
+abort-everything-when-one-table-has-no-files quirk (validation.py:442
+``return None`` inside the table loop) is deliberately fixed to
+skip-and-continue.
+
+The reference's para_* protocol (init -> N workers over an S3 temp fs ->
+closedown; validation.py:652-775) collapses here into the Spark job itself;
+the manifest module (manifest.py) provides the per-partition checkpoint +
+resume that protocol lacked."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import shutil
+import time
+from typing import Optional, Union
+
+from pyspark.sql import SparkSession
+
+from data_linter_spark.config import load_and_validate_config
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.validator import SparkSchemaValidator, SparkValidator
+
+GET_VALIDATOR = {
+    "pandas": SparkValidator,  # reference engine name, kept as alias
+    "spark": SparkValidator,
+    "parquet": SparkSchemaValidator,
+    "spark-schema": SparkSchemaValidator,
+}
+
+
+def get_filepaths_from_local_folder(
+    path: str, ext: Optional[str] = None, exclude_zero_byte: bool = True
+) -> list[str]:
+    """os.walk, skip dotfiles & zero-byte (reference utils.py:153-177)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("."):
+                continue
+            full = os.path.join(root, f)
+            if ext and not f.endswith(ext):
+                continue
+            if exclude_zero_byte and os.path.getsize(full) == 0:
+                continue
+            out.append(full)
+    return sorted(out)
+
+
+def match_files_in_land_to_config(config: dict) -> dict:
+    """File -> table matching: regex ``pattern`` or table-name prefix;
+    errors on required-but-missing, double-match, unknown files
+    (reference validation.py:147-209)."""
+    land_base_path = config["land-base-path"]
+    land_files = get_filepaths_from_local_folder(land_base_path)
+
+    if not land_files and config.get("fail-no-files", False):
+        raise FileNotFoundError(f"No files found in the path: {land_base_path}")
+
+    all_matched: list[str] = []
+    for table_name, table_params in config["tables"].items():
+        rel = lambda f: f.replace(land_base_path, "").lstrip("/")  # noqa: E731
+        if table_params.get("pattern"):
+            table_params["matched_files"] = [
+                f for f in land_files
+                if re.match(table_params["pattern"], rel(f))
+            ]
+        else:
+            table_params["matched_files"] = [
+                f for f in land_files if rel(f).startswith(table_name)
+            ]
+        if not table_params["matched_files"] and table_params.get("required"):
+            raise FileNotFoundError(
+                f"Config states file for {table_name} must exist "
+                "but no files matched."
+            )
+        all_matched.extend(table_params["matched_files"])
+
+    if len(all_matched) != len(set(all_matched)):
+        detail = "".join(
+            f"{t}: {p['matched_files']} \n" for t, p in config["tables"].items()
+        )
+        raise FileExistsError(
+            f"We matched the same files to multiple tables.\n{detail}"
+        )
+
+    if "fail-unknown-files" in config:
+        exceptions = config["fail-unknown-files"].get("exceptions", [])
+        unknown = set(land_files) - set(all_matched) - set(exceptions)
+        if unknown:
+            raise FileExistsError(
+                "Config states no unknown should exist. "
+                f"The following were unmatched: {sorted(unknown)}"
+            )
+    return config
+
+
+def validate_data(config: dict, spark: SparkSession) -> list[dict]:
+    """One validator run per matched file; per-file response records
+    (reference validation.py:390-447)."""
+    engine = config.get("validator-engine", "spark")
+    engine_params = config.get("validator-engine-params", {})
+    validator_cls = GET_VALIDATOR[engine]
+
+    responses = []
+    for table_name, table_params in config["tables"].items():
+        if not table_params.get("matched_files"):
+            continue  # divergence (documented): skip, don't abort the run
+        meta_path = table_params.get("metadata", f"meta_data/{table_name}.json")
+        metadata = Metadata.from_infer(meta_path)
+        metadata.set_col_type_category_from_types()
+        for matched_file in table_params["matched_files"]:
+            kwargs = dict(engine_params)
+            if validator_cls is SparkValidator:
+                kwargs.setdefault("log_verbosity", None)
+            validator = validator_cls(
+                matched_file, table_params, metadata.to_dict(), spark=spark,
+                **kwargs,
+            )
+            validator.read_data_and_validate()
+            responses.append(
+                {
+                    "valid": validator.valid,
+                    "response": validator.get_response_dict(),
+                    "original-path": matched_file,
+                    "table-name": table_name,
+                }
+            )
+    return responses
+
+
+def get_out_path(
+    basepath: str,
+    table: str,
+    ts: Union[int, str],
+    filename: str,
+    compress: bool = False,
+    filenum: int = 0,
+    timestamp_partition_name: Optional[str] = None,
+) -> str:
+    """{base}/{table}/[{ts_part}={ts}/]{file}-{filenum}-{ts}.{ext}[.gz]
+    (reference utils.py:62-83)."""
+    filename_only, ext = filename.split(".", 1)
+    final_filename = f"{filename_only}-{filenum}-{ts}.{ext}"
+    if compress and not ext.endswith(".gz"):
+        final_filename += ".gz"
+    if timestamp_partition_name:
+        return os.path.join(
+            basepath, table, f"{timestamp_partition_name}={ts}", final_filename
+        )
+    return os.path.join(basepath, table, final_filename)
+
+
+def get_table_log_path(
+    basepath: str, table: str, ts: Union[int, str], filenum: int = 0
+) -> str:
+    """{log}/tables/{table}/log-{table}-{filenum}-{ts}.json
+    (reference utils.py:85-90)."""
+    return os.path.join(
+        basepath, "tables", table, f"log-{table}-{filenum}-{ts}.json"
+    )
+
+
+def _move_file(src: str, dst: str, compress: bool) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if compress and not src.endswith(".gz"):
+        with open(src, "rb") as fin, gzip.open(dst, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+    else:
+        shutil.copy(src, dst)
+
+
+def collect_all_status(
+    config: dict, all_table_responses: list[dict], utc_ts: Optional[int] = None
+) -> dict:
+    """Routing decision + movement + per-table JSON logs + all-must-pass
+    raise (reference validation.py:498-649):
+
+    - every file passed            -> each to its pass path
+    - any failed & all-must-pass   -> ALL files to fail path, then raise
+    - any failed & not all-must-pass -> respective pass/fail paths
+    """
+    utc_ts = utc_ts if utc_ts is not None else int(time.time())
+    all_must_pass = config.get("all-must-pass", False)
+    pass_base_path = config["pass-base-path"]
+    fail_base_path = config.get("fail-base-path")
+    log_base_path = config["log-base-path"]
+    remove_on_pass = config.get("remove-tables-on-pass")
+    compress = config.get("compress-data")
+    ts_partition = config.get("timestamp-partition-name")
+
+    all_tables_passed = all(r["valid"] for r in all_table_responses)
+    there_was_a_fail = False
+    route_all_to_fail = (not all_tables_passed) and all_must_pass
+
+    for i, resp in enumerate(all_table_responses):
+        table_name = resp["table-name"]
+        matched_file = resp["original-path"]
+        base = os.path.basename(matched_file)
+        if route_all_to_fail:
+            there_was_a_fail = True
+            out = get_out_path(
+                fail_base_path, table_name, utc_ts, base, compress, i,
+                ts_partition,
+            )
+            _move_file(matched_file, out, compress)
+        elif resp["valid"]:
+            out = get_out_path(
+                pass_base_path, table_name, utc_ts, base, compress, i,
+                ts_partition,
+            )
+            _move_file(matched_file, out, compress)
+            if remove_on_pass:
+                os.remove(matched_file)
+        else:
+            there_was_a_fail = True
+            out = get_out_path(
+                fail_base_path, table_name, utc_ts, base, compress, i,
+                ts_partition,
+            )
+            _move_file(matched_file, out, compress)
+        resp["archived-path"] = out
+
+        log_out = get_table_log_path(log_base_path, table_name, utc_ts, i)
+        os.makedirs(os.path.dirname(log_out), exist_ok=True)
+        with open(log_out, "w") as f:
+            json.dump(resp, f)
+
+    if there_was_a_fail and all_must_pass:
+        raise ValueError("Tables did not pass linter")
+
+    return {
+        "all_tables_passed": all_tables_passed,
+        "responses": all_table_responses,
+    }
+
+
+def run_validation(
+    config: Union[str, dict] = "config.yaml",
+    spark: Optional[SparkSession] = None,
+) -> dict:
+    """The main batch entry point (reference validation.py:212-251)."""
+    spark = spark or SparkSession.getActiveSession()
+    config = load_and_validate_config(config)
+    config = match_files_in_land_to_config(config)
+    responses = validate_data(config, spark)
+    return collect_all_status(config, responses)

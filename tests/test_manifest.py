@@ -1,0 +1,103 @@
+"""Checkpoint manifest + resume tests (SURVEY.md §5 item 4: kill after K
+partitions -> rerun -> only remaining partitions execute, verdicts
+identical)."""
+
+import json
+
+from data_linter_spark.manifest import PartitionManifest, validate_partitioned
+from data_linter_spark.metadata import Metadata
+
+META = {
+    "name": "tok",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "v", "type": "int64", "minimum": 0, "maximum": 100},
+    ],
+}
+
+
+def _df(spark):
+    rows = [(i % 7, i if i % 50 else 999) for i in range(700)]
+    return spark.createDataFrame(rows, "src int, v long")
+
+
+def test_validate_partitioned_full(spark, tmp_path):
+    m = PartitionManifest(str(tmp_path / "manifest"))
+    summary = validate_partitioned(
+        spark, _df(spark), Metadata(META), "src", m, batch_size=3
+    )
+    assert summary["partitions_total"] == 7
+    assert summary["partitions_validated"] == 7
+    assert summary["partitions_skipped_resume"] == 0
+    recs = {r["partition_id"]: r for r in m.records()}
+    assert len(recs) == 7
+    # every partition has rows & counters; src=0 contains v=999 violations
+    assert recs["0"]["status"] == "fail"
+    assert recs["0"]["metrics"]["rows"] == 100
+    assert summary["all_passed"] is False
+
+
+def test_resume_skips_done_partitions(spark, tmp_path):
+    m = PartitionManifest(str(tmp_path / "manifest"))
+    df = _df(spark)
+    meta = Metadata(META)
+    # simulate a killed run: only partitions 0 and 1 completed
+    validate_partitioned(
+        spark, df.filter("src < 2"), meta, "src", m, batch_size=10
+    )
+    assert m.done_partitions() == {"0", "1"}
+    before = {r["partition_id"]: r["ts"] for r in m.records()}
+
+    summary = validate_partitioned(spark, df, meta, "src", m, batch_size=10)
+    assert summary["partitions_skipped_resume"] == 2
+    assert summary["partitions_validated"] == 5
+    after = {r["partition_id"]: r["ts"] for r in m.records()}
+    # completed partitions were NOT re-validated (timestamps unchanged)
+    assert after["0"] == before["0"] and after["1"] == before["1"]
+    assert len(after) == 7
+
+
+def test_verdicts_identical_with_and_without_resume(spark, tmp_path):
+    df = _df(spark)
+    meta = Metadata(META)
+    m1 = PartitionManifest(str(tmp_path / "m1"))
+    validate_partitioned(spark, df, meta, "src", m1, batch_size=100)
+
+    m2 = PartitionManifest(str(tmp_path / "m2"))
+    validate_partitioned(spark, df.filter("src IN (3, 5)"), meta, "src", m2)
+    validate_partitioned(spark, df, meta, "src", m2, batch_size=2)
+
+    v1 = {r["partition_id"]: (r["status"], r["metrics"]) for r in m1.records()}
+    v2 = {r["partition_id"]: (r["status"], r["metrics"]) for r in m2.records()}
+    assert v1 == v2
+
+
+def test_salted_equals_unsalted(spark, tmp_path):
+    df = _df(spark)
+    meta = Metadata(META)
+    m_s = PartitionManifest(str(tmp_path / "ms"))
+    m_u = PartitionManifest(str(tmp_path / "mu"))
+    validate_partitioned(spark, df, meta, "src", m_s, salted=True)
+    validate_partitioned(spark, df, meta, "src", m_u, salted=False)
+    vs = {r["partition_id"]: r["metrics"] for r in m_s.records()}
+    vu = {r["partition_id"]: r["metrics"] for r in m_u.records()}
+    assert vs == vu
+
+
+def test_atomic_record_tolerates_garbage_tmp(spark, tmp_path):
+    m = PartitionManifest(str(tmp_path / "m"))
+    m.record("p1", "pass", {"rows": 1})
+    # a crashed writer leaves a .tmp file; it must not break reads
+    (tmp_path / "m" / "part-p2.json.tmp").write_text("{broken")
+    assert m.done_partitions() == {"p1"}
+    assert len(m.records()) == 1
+
+
+def test_manifest_to_df(spark, tmp_path):
+    m = PartitionManifest(str(tmp_path / "m"))
+    m.record("a", "pass", {"rows": 10, "violations": {}})
+    m.record("b", "fail", {"rows": 5, "violations": {"x": 2}})
+    df = m.to_df(spark)
+    rows = {r["partition_id"]: r for r in df.collect()}
+    assert rows["b"]["status"] == "fail"
+    assert json.loads(rows["b"]["metrics"])["violations"] == {"x": 2}

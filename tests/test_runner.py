@@ -1,0 +1,255 @@
+"""End-to-end lifecycle tests: config -> match -> validate -> route.
+
+Mirrors the reference's end-to-end and mitigation matrices
+(reference tests/test_end_to_end_run.py, tests/test_simple_examples.py) on
+local paths."""
+
+import json
+import os
+
+import pytest
+
+from data_linter_spark.config import ConfigError, validate_config
+from data_linter_spark.runner import (
+    collect_all_status,
+    get_out_path,
+    get_table_log_path,
+    match_files_in_land_to_config,
+    run_validation,
+)
+
+META_T1 = {
+    "name": "table1",
+    "file_format": "csv",
+    "columns": [
+        {"name": "my_int", "type": "int64", "nullable": False, "minimum": 0,
+         "maximum": 100},
+        {"name": "my_string", "type": "string"},
+    ],
+}
+
+
+def _write_land(tmp_path, name, rows):
+    land = tmp_path / "land"
+    land.mkdir(exist_ok=True)
+    p = land / name
+    p.write_text("my_int,my_string\n" + "\n".join(rows) + "\n")
+    return str(p)
+
+
+def _config(tmp_path, tables):
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir(exist_ok=True)
+    return {
+        "land-base-path": str(tmp_path / "land"),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": tables,
+    }
+
+
+def _meta_file(tmp_path, meta, name="table1"):
+    mp = tmp_path / f"{name}.json"
+    mp.write_text(json.dumps(meta))
+    return str(mp)
+
+
+def test_out_path_construction():
+    # reference tests/test_functions.py:4-39 semantics
+    assert get_out_path("/base", "t1", 123, "f.csv") == "/base/t1/f-0-123.csv"
+    assert (
+        get_out_path("/base", "t1", 123, "f.csv", compress=True, filenum=2)
+        == "/base/t1/f-2-123.csv.gz"
+    )
+    assert (
+        get_out_path("/base", "t1", 9, "f.csv", timestamp_partition_name="ts")
+        == "/base/t1/ts=9/f-0-9.csv"
+    )
+    assert get_table_log_path("/log", "t1", 7, 1) == "/log/tables/t1/log-t1-1-7.json"
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError):
+        validate_config({"tables": {}})
+    with pytest.raises(ConfigError):
+        validate_config(
+            {"land-base-path": "x", "log-base-path": "y", "tables": {}}
+        )
+    with pytest.raises(ConfigError):
+        validate_config(
+            {
+                "land-base-path": "x",
+                "log-base-path": "y",
+                "tables": {"t": {}},
+                "validator-engine": "nope",
+            }
+        )
+    # underscore aliasing
+    cfg = validate_config(
+        {
+            "land_base_path": "x",
+            "log_base_path": "y",
+            "all_must_pass": True,
+            "tables": {"t": {"row_limit": 5}},
+        }
+    )
+    assert cfg["land-base-path"] == "x"
+    assert cfg["all-must-pass"] is True
+    assert cfg["tables"]["t"]["row-limit"] == 5
+
+
+def test_match_files(tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a"])
+    _write_land(tmp_path, "table1_extra.csv", ["2,b"])
+    _write_land(tmp_path, "other.csv", ["3,c"])
+    cfg = _config(tmp_path, {"table1": {}})
+    cfg = match_files_in_land_to_config(cfg)
+    matched = [os.path.basename(f) for f in cfg["tables"]["table1"]["matched_files"]]
+    assert matched == ["table1.csv", "table1_extra.csv"]
+
+
+def test_match_required_missing(tmp_path):
+    _write_land(tmp_path, "other.csv", ["1,a"])
+    cfg = _config(tmp_path, {"table1": {"required": True}})
+    with pytest.raises(FileNotFoundError):
+        match_files_in_land_to_config(cfg)
+
+
+def test_match_double_match(tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a"])
+    cfg = _config(
+        tmp_path, {"table1": {}, "t2": {"pattern": r"table1.*"}}
+    )
+    with pytest.raises(FileExistsError):
+        match_files_in_land_to_config(cfg)
+
+
+def test_match_unknown_files(tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a"])
+    _write_land(tmp_path, "mystery.csv", ["1,a"])
+    cfg = _config(tmp_path, {"table1": {}})
+    cfg["fail-unknown-files"] = {"exceptions": []}
+    with pytest.raises(FileExistsError):
+        match_files_in_land_to_config(cfg)
+    cfg2 = _config(tmp_path, {"table1": {}})
+    mystery = str(tmp_path / "land" / "mystery.csv")
+    cfg2["fail-unknown-files"] = {"exceptions": [mystery]}
+    match_files_in_land_to_config(cfg2)  # no raise
+
+
+def test_end_to_end_pass_routing(spark, tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a", "2,b"])
+    cfg = _config(
+        tmp_path, {"table1": {"metadata": _meta_file(tmp_path, META_T1)}}
+    )
+    result = run_validation(cfg, spark)
+    assert result["all_tables_passed"] is True
+    pass_files = os.listdir(tmp_path / "pass" / "table1")
+    assert len(pass_files) == 1 and pass_files[0].startswith("table1-0-")
+    logs = os.listdir(tmp_path / "log" / "tables" / "table1")
+    assert len(logs) == 1
+    with open(tmp_path / "log" / "tables" / "table1" / logs[0]) as f:
+        logged = json.load(f)
+    assert logged["valid"] is True
+    assert logged["table-name"] == "table1"
+    assert "archived-path" in logged
+
+
+def test_end_to_end_fail_routing(spark, tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a", "999,b"])  # 999 > maximum
+    cfg = _config(
+        tmp_path, {"table1": {"metadata": _meta_file(tmp_path, META_T1)}}
+    )
+    result = run_validation(cfg, spark)
+    assert result["all_tables_passed"] is False
+    assert os.listdir(tmp_path / "fail" / "table1")
+    assert not os.path.exists(tmp_path / "pass" / "table1")
+
+
+def test_all_must_pass_routes_everything_to_fail(spark, tmp_path):
+    _write_land(tmp_path, "table1.csv", ["1,a"])          # would pass
+    _write_land(tmp_path, "table2.csv", ["999,b"])        # fails
+    meta = _meta_file(tmp_path, META_T1)
+    meta2 = _meta_file(tmp_path, dict(META_T1, name="table2"), "table2")
+    cfg = _config(
+        tmp_path,
+        {"table1": {"metadata": meta}, "table2": {"metadata": meta2}},
+    )
+    cfg["all-must-pass"] = True
+    with pytest.raises(ValueError, match="did not pass"):
+        run_validation(cfg, spark)
+    # BOTH files routed to fail (reference validation.py:551-557)
+    assert os.listdir(tmp_path / "fail" / "table1")
+    assert os.listdir(tmp_path / "fail" / "table2")
+    assert not os.path.exists(tmp_path / "pass" / "table1")
+
+
+def test_remove_on_pass_and_compress(spark, tmp_path):
+    land_file = _write_land(tmp_path, "table1.csv", ["1,a"])
+    cfg = _config(
+        tmp_path, {"table1": {"metadata": _meta_file(tmp_path, META_T1)}}
+    )
+    cfg["remove-tables-on-pass"] = True
+    cfg["compress-data"] = True
+    run_validation(cfg, spark)
+    assert not os.path.exists(land_file)  # removed from land
+    out = os.listdir(tmp_path / "pass" / "table1")
+    assert out[0].endswith(".csv.gz")
+    import gzip
+
+    with gzip.open(tmp_path / "pass" / "table1" / out[0], "rt") as f:
+        assert f.read().startswith("my_int,my_string")
+
+
+def test_mitigation_matrix(spark, tmp_path):
+    """sc2 (data missing col) / sc3 (data extra col) x allow-flags
+    (reference tests/test_end_to_end_run.py:331-481)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "t_missing.csv").write_text("my_int\n1\n")
+    (land / "t_extra.csv").write_text("my_int,my_string,bonus\n1,a,zz\n")
+    meta = _meta_file(tmp_path, dict(META_T1, name="t"), "t")
+
+    def run(table, flags):
+        cfg = _config(tmp_path, {table: dict(flags, metadata=meta)})
+        return run_validation(cfg, spark)["all_tables_passed"]
+
+    assert run("t_missing", {}) is False
+    assert run("t_missing", {"allow-missing-cols": True}) is True
+    assert run("t_extra", {}) is False
+    assert run("t_extra", {"allow-unexpected-data": True}) is True
+
+
+def test_schema_validator_engine(spark, tmp_path):
+    """parquet (schema-only) engine: footer schema vs metadata
+    (reference parquet_validator.py:49-81)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    import pandas as pd
+
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(land / "t1.parquet")
+    meta_ok = {
+        "name": "t1", "file_format": "parquet",
+        "columns": [{"name": "a", "type": "int64"},
+                    {"name": "b", "type": "string"}],
+    }
+    meta_bad = {
+        "name": "t1", "file_format": "parquet",
+        "columns": [{"name": "a", "type": "string"},
+                    {"name": "missing", "type": "string"}],
+    }
+    for meta, expect in ((meta_ok, True), (meta_bad, False)):
+        cfg = _config(
+            tmp_path,
+            {"t1": {"metadata": _meta_file(tmp_path, meta, "t1m")}},
+        )
+        cfg["validator-engine"] = "parquet"
+        res = run_validation(cfg, spark)
+        assert res["all_tables_passed"] is expect
+        resp = res["responses"][0]["response"]
+        assert "check_schema_conforms" in resp
+        if not expect:
+            t = resp["check_schema_conforms"]
+            assert t["cols_in_meta_not_in_file"] == ["missing"]
+            assert "a" in t["cols_with_different_types"]
