@@ -95,6 +95,35 @@ def numeric_histogram_df(
     )
 
 
+def token_histogram_df(
+    df: DataFrame, tokens_col: str, vocab_size: int, n_bins: int = 256
+) -> DataFrame:
+    """Lazy token-id histogram (bucket, cnt) via Arrow-batched mapInPandas
+    partial bincounts merged with one narrow groupBy — the scale path vs
+    ``explode`` (which would materialize one row per token). Buckets fold
+    token ids by ``vocab_size // n_bins``; empty buckets are omitted."""
+    import numpy as np
+    import pandas as pd
+
+    fold = max(1, vocab_size // n_bins)
+
+    def partial_hist(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc = np.zeros(n_bins, dtype="int64")
+        for pdf in batches:
+            col = pdf[tokens_col].dropna()
+            if len(col):
+                flat = np.concatenate([np.asarray(a, dtype="int64") for a in col])
+                if flat.size:
+                    np.add.at(acc, np.minimum(flat // fold, n_bins - 1), 1)
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame({"bucket": nz.astype("int32"), "cnt": acc[nz]})
+
+    partials = df.select(tokens_col).mapInPandas(
+        partial_hist, schema="bucket int, cnt long"
+    )
+    return partials.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def token_histogram(
     df: DataFrame, tokens_col: str, vocab_size: int, n_bins: int = 256
 ) -> HistogramProfile:

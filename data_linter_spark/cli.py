@@ -1,0 +1,94 @@
+"""spark-submit entry point.
+
+Usage (reference analogue: data_linter/command_line.py:6-16)::
+
+    spark-submit --py-files data_linter_spark.zip -m data_linter_spark.cli \\
+        run --config config.yaml
+    python -m data_linter_spark.cli run --config config.yaml
+    python -m data_linter_spark.cli validate-partitioned \\
+        --input /path/tokens.parquet --metadata meta.json \\
+        --partition-col source --manifest /path/manifest
+
+Subcommands:
+- ``run``: the batch config lifecycle (match -> validate -> route).
+- ``validate-partitioned``: the scale path — per-partition verdicts with
+  checkpoint manifest + resume.
+- ``summary``: verdict-log exploration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from data_linter_spark.session import get_spark
+
+    return get_spark(app_name="data_linter_spark_cli", master=args.master)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="data_linter_spark")
+    p.add_argument("--master", default=None, help="Spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="config-driven batch validation")
+    runp.add_argument("--config", default="config.yaml")
+
+    vp = sub.add_parser(
+        "validate-partitioned", help="partitioned validation with resume"
+    )
+    vp.add_argument("--input", required=True, help="parquet path / table")
+    vp.add_argument("--metadata", required=True, help="metadata JSON path")
+    vp.add_argument("--partition-col", required=True)
+    vp.add_argument("--manifest", required=True)
+    vp.add_argument("--batch-size", type=int, default=64)
+    vp.add_argument("--no-salt", action="store_true")
+
+    sp = sub.add_parser("summary", help="verdict-log summary")
+    sp.add_argument("--config", default="config.yaml")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "run":
+        from data_linter_spark.runner import run_validation
+
+        result = run_validation(args.config, _spark(args))
+        print(json.dumps({"all_tables_passed": result["all_tables_passed"]}))
+        return 0 if result["all_tables_passed"] else 1
+
+    if args.cmd == "validate-partitioned":
+        from data_linter_spark.manifest import (
+            PartitionManifest,
+            validate_partitioned,
+        )
+        from data_linter_spark.metadata import Metadata
+
+        spark = _spark(args)
+        df = spark.read.parquet(args.input)
+        meta = Metadata.from_json(args.metadata)
+        meta.set_col_type_category_from_types()
+        summary = validate_partitioned(
+            spark,
+            df,
+            meta,
+            args.partition_col,
+            PartitionManifest(args.manifest),
+            batch_size=args.batch_size,
+            salted=not args.no_salt,
+        )
+        print(json.dumps(summary))
+        return 0 if summary["all_passed"] else 1
+
+    if args.cmd == "summary":
+        from data_linter_spark.log_explorer import summary_of_all_tables
+
+        print(json.dumps(summary_of_all_tables(_spark(args), args.config)))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

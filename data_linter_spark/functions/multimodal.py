@@ -1,0 +1,187 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``decoder=`` (default: a clearly-marked deterministic fake;
+``strict=True`` raises NotImplementedError as the marker for the real
+codec). Everything Spark-side — schema handling, partition sizing, UDF
+signatures, Arrow batch shapes — is real and tested.
+
+Canonical media schema::
+
+    (media_id string, payload binary, mime string,
+     width int, height int, duration_ms int)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def fake_decode(payload: bytes, mime: str) -> dict:
+    """DETERMINISTIC FAKE of a media decode — stands in for PIL/ffmpeg,
+    which are not in this container. Produces stable pseudo-features from
+    the payload hash so pipelines are testable end-to-end."""
+    h = hashlib.sha256(payload or b"").digest()
+    return {
+        "ok": payload is not None and len(payload) > 0,
+        "features": [b / 255.0 for b in h[:FEATURE_DIM]],
+        "decoded_width": (h[0] << 4) + 16,
+        "decoded_height": (h[1] << 4) + 16,
+    }
+
+
+def real_decode(payload: bytes, mime: str) -> dict:  # pragma: no cover
+    """The real codec hook. Swap in for fake_decode when PIL/torchaudio/
+    ffmpeg are available."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "inject a decoder via media_features(decoder=...)"
+    )
+
+
+def media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    decoder: Optional[Callable[[bytes, str], dict]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: each Arrow batch is
+    processed in one Python call; output is (media_id, decode_ok,
+    features array<double>, decoded_width, decoded_height)."""
+    import pandas as pd
+
+    decode = decoder or (real_decode if strict else fake_decode)
+    out_schema = (
+        f"{id_col} string, decode_ok boolean, features array<double>, "
+        "decoded_width int, decoded_height int"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = [
+                decode(p, m)
+                for p, m in zip(pdf[payload_col], pdf[mime_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "decode_ok": [r["ok"] for r in recs],
+                    "features": [r["features"] for r in recs],
+                    "decoded_width": [r["decoded_width"] for r in recs],
+                    "decoded_height": [r["decoded_height"] for r in recs],
+                }
+            )
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize plumbing: emits (media_id, resized binary, target_w, target_h).
+    The byte transform is the deterministic fake (payload passthrough with a
+    stamped header); swap the inner fn for a real resampler."""
+    import pandas as pd
+
+    header = f"RSZ:{target_w}x{target_h}:".encode()
+    out_schema = f"{id_col} string, resized binary, target_w int, target_h int"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": [
+                        (header + (p or b"")) for p in pdf[payload_col]
+                    ],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    offset — the fan-out shape (explode of frame offsets) is real; the
+    frame bytes are the deterministic fake."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col(duration_col), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.explode(offsets).alias("frame_ms"),
+    )
+    frame = F.concat(
+        F.lit("FRAME:").cast("binary"),
+        F.col("frame_ms").cast("string").cast("binary"),
+        F.lit(":").cast("binary"),
+        F.sha2(
+            F.concat(
+                F.coalesce(F.col(payload_col), F.lit(b"")),
+                F.col("frame_ms").cast("string").cast("binary"),
+            ),
+            256,
+        ).cast("binary"),
+    )
+    return exploded.select(
+        id_col, "frame_ms", frame.alias("frame_payload")
+    )
+
+
+def media_validation_metadata() -> dict:
+    """Constraint metadata for the canonical media table — the binary
+    payload participates in the standard constraint suite (nullable;
+    length bounds apply to byte length via F.length on binary)."""
+    return {
+        "name": "media",
+        "file_format": "parquet",
+        "columns": [
+            {"name": "media_id", "type": "string", "nullable": False,
+             "unique": True},
+            {"name": "payload", "type": "binary", "nullable": False,
+             "minLength": 1},
+            {"name": "mime", "type": "string",
+             "enum": ["image/png", "image/jpeg", "audio/wav", "video/mp4"]},
+            {"name": "width", "type": "int32", "minimum": 1, "maximum": 16384},
+            {"name": "height", "type": "int32", "minimum": 1, "maximum": 16384},
+            {"name": "duration_ms", "type": "int32", "minimum": 0},
+        ],
+    }

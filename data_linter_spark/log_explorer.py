@@ -1,0 +1,103 @@
+"""Verdict-log exploration — reporting queries over the per-table JSON logs
+written by the runner (the reference's log_explorer_utils,
+data_linter/log_explorer_utils.py:8-134, as Spark DataFrame queries).
+
+The per-table logs are newline-free JSON documents; they load with
+``spark.read.json`` (multiLine per file via wholetext-free path listing —
+each log IS one JSON object, which spark.read.json handles natively)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.config import load_and_validate_config
+
+
+def load_verdict_logs(
+    spark: SparkSession, config_or_path, table_name: Optional[str] = None
+) -> DataFrame:
+    """All per-table verdict logs as a DataFrame
+    (valid, table-name, original-path, archived-path, response...)."""
+    if isinstance(config_or_path, (str, dict)):
+        try:
+            config = load_and_validate_config(config_or_path)
+            base = os.path.join(config["log-base-path"], "tables")
+        except Exception:
+            base = str(config_or_path)
+    else:
+        base = str(config_or_path)
+    if table_name:
+        base = os.path.join(base, table_name)
+    return spark.read.option("recursiveFileLookup", "true").json(base)
+
+
+def summary_of_all_tables(spark: SparkSession, config_or_path) -> dict:
+    """Overall validity + fail percentage + per-table fail counts
+    (reference log_explorer_utils.py:8-64). One aggregation + one
+    groupBy-aggregation over the verdict table."""
+    logs = load_verdict_logs(spark, config_or_path)
+    overall = logs.agg(
+        F.min(F.col("valid").cast("int")).alias("all_valid"),
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("fails"),
+    ).collect()[0]
+    per_table = (
+        logs.groupBy(F.col("`table-name`").alias("table_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("n_failed"),
+        )
+        .withColumn(
+            "pct_failed", F.round(F.col("n_failed") / F.col("n_files") * 100, 4)
+        )
+        .collect()
+    )
+    total = overall["total"]
+    return {
+        "overall_valid": bool(overall["all_valid"]),
+        "fail_count": int(overall["fails"]),
+        "fail_percentage": (overall["fails"] / total * 100) if total else 0.0,
+        "tables": {
+            r["table_name"]: {
+                "n_files": r["n_files"],
+                "n_failed": r["n_failed"],
+                "pct_failed": float(r["pct_failed"]),
+            }
+            for r in per_table
+        },
+    }
+
+
+def get_failed_files(
+    spark: SparkSession, config_or_path, table_name: Optional[str] = None
+) -> DataFrame:
+    """(table-name, original-path) of failing files
+    (reference log_explorer_utils.py:67-79)."""
+    logs = load_verdict_logs(spark, config_or_path, table_name)
+    return logs.filter(~F.col("valid")).select(
+        F.col("`table-name`").alias("table_name"),
+        F.col("`original-path`").alias("original_path"),
+    )
+
+
+def get_all_errors_for_file(
+    spark: SparkSession, config_or_path, file_path: str
+) -> list[dict]:
+    """Error history for one source file, newest first — ts extracted from
+    the archived-path filename (reference log_explorer_utils.py:82-134)."""
+    logs = load_verdict_logs(spark, config_or_path)
+    hist = (
+        logs.filter(F.col("`original-path`") == file_path)
+        .withColumn(
+            "ts",
+            F.regexp_extract(
+                F.col("`archived-path`"), r"-(\d+)\.[^.]+(?:\.gz)?$", 1
+            ).cast("long"),
+        )
+        .orderBy(F.desc("ts"))
+    )
+    return [r.asDict(recursive=True) for r in hist.collect()]

@@ -1,0 +1,44 @@
+"""Run-log lifecycle: buffered run log written out at end of run
+(reference data_linter/logging_functions.py:13-69 — StringIO-buffered
+logger uploaded to the log base path; local filesystem here)."""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+
+LOG_FORMAT = "%(asctime)s | %(levelname)s | %(context)s | %(message)s"
+
+
+class _ContextFilter(logging.Filter):
+    def filter(self, record):
+        if not hasattr(record, "context"):
+            record.context = "RUN"
+        return True
+
+
+def logging_setup(
+    name: str = "data_linter_spark",
+) -> tuple[logging.Logger, io.StringIO]:
+    """Logger that tees to stderr and an in-memory buffer; the buffer is
+    flushed to the log path by ``upload_log`` at run end."""
+    log = logging.getLogger(name)
+    log.setLevel(logging.INFO)
+    log.handlers.clear()
+    log.addFilter(_ContextFilter())
+    buf = io.StringIO()
+    for handler in (logging.StreamHandler(), logging.StreamHandler(buf)):
+        handler.setFormatter(logging.Formatter(LOG_FORMAT))
+        log.addHandler(handler)
+    return log, buf
+
+
+def get_main_log_path_from_config(config: dict, ts: int = 0) -> str:
+    return os.path.join(config["log-base-path"], f"data_linter_run_{ts}.log")
+
+
+def upload_log(log: logging.Logger, buf: io.StringIO, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(buf.getvalue())

@@ -1,0 +1,73 @@
+"""Explicit partitioning helpers — the Spark-native replacement for the
+reference's greedy first-fit-decreasing bin-packing
+(reference data_linter/validation.py:254-357, which balanced whole FILES
+across worker processes by size).
+
+On Spark, size balancing below file granularity is native
+(``spark.sql.files.maxPartitionBytes`` splits; AQE coalesces), so the
+helpers here cover what Spark does NOT do automatically:
+
+- ``size_aware_shuffle_partitions``: pick a shuffle width from actual input
+  bytes so reducers neither starve (tiny tasks) nor spill (huge tasks).
+- ``salt_column``: explicit salt for hot-key groupings (the skewed ``source``
+  column per the north_rule).
+- ``repartition_for_key``: pre-shuffle a table on its join/group key with a
+  computed width, reusable across downstream stages (one shuffle, many
+  consumers).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def input_bytes_of(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def size_aware_shuffle_partitions(
+    input_bytes: int,
+    target_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    min_partitions: int = 8,
+    max_partitions: int = 20_000,
+) -> int:
+    """Shuffle width so each reducer handles ~target_bytes (the same
+    balancing objective as the reference's FFD bins, applied to byte ranges
+    instead of whole files)."""
+    n = math.ceil(max(input_bytes, 1) / target_bytes)
+    return max(min_partitions, min(n, max_partitions))
+
+
+def salt_column(buckets: int = 32) -> Column:
+    """Deterministic per-task salt (no rand(): resume-safe, and uniform
+    because Spark input partitions are size-balanced)."""
+    return F.pmod(F.spark_partition_id(), F.lit(buckets))
+
+
+def repartition_for_key(
+    df: DataFrame,
+    key: str,
+    input_path: str | None = None,
+    target_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+) -> DataFrame:
+    """Hash-partition on the key with a size-derived width. Downstream
+    groupBy/join on the same key reuses this partitioning (no second
+    shuffle)."""
+    if input_path:
+        n = size_aware_shuffle_partitions(
+            input_bytes_of(input_path), target_bytes
+        )
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, F.col(key))

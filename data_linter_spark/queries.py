@@ -421,6 +421,81 @@ FROM ranked WHERE rk <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# 10. token-id histogram sketch over the tokens table (Arrow mapInPandas
+#     partial bincounts; oracle = plain unnest+groupBy SQL)
+# ---------------------------------------------------------------------------
+
+TOKEN_HIST_BINS = 64
+_TOKEN_FOLD = 50257 // TOKEN_HIST_BINS
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.drift import token_histogram_df
+
+    toks = tokens_from_documents(spark, sf_dir)
+    return token_histogram_df(toks, "tokens", 50257, TOKEN_HIST_BINS)
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+WITH {TOKENS_SQL_CTE},
+flat AS (SELECT unnest(tokens) AS tok FROM tokens_tbl)
+SELECT CAST(LEAST(tok // {_TOKEN_FOLD}, {TOKEN_HIST_BINS - 1}) AS INTEGER)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM flat GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. event-time windowed verdict counters (batch form of the streaming
+#     windowed validation; tumbling 1-hour windows)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.streaming import stream_windowed_verdicts
+
+    meta = Metadata(
+        {
+            "name": "events",
+            "file_format": "parquet",
+            "columns": [
+                {"name": "value", "type": "float64", "minimum": 0.0,
+                 "maximum": 450.0},
+                {"name": "event_type", "type": "string", "nullable": False,
+                 "enum": ["click", "view", "purchase", "signup"]},
+            ],
+        }
+    )
+    events = _read(spark, sf_dir, "events")
+    out = stream_windowed_verdicts(events, meta, "ts", "1 hour",
+                                   watermark=None)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("__total_rows"),
+        F.col("__viol__value__min_max_test"),
+        F.col("__viol__event_type__enum_test"),
+        F.col("__viol__event_type__nullable_test"),
+    )
+
+
+SQL_EVENTS_HOURLY_VERDICTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN value < 0.0 OR value > 450.0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__value__min_max_test",
+  CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+           ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__event_type__enum_test",
+  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__event_type__nullable_test"
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -442,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_count_by_source": q_token_count_by_source,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "token_histogram": q_token_histogram,
+        "events_hourly_verdicts": q_events_hourly_verdicts,
     }
 
 
@@ -462,4 +539,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "token_count_by_source": SQL_TOKEN_COUNT_BY_SOURCE,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "token_histogram": SQL_TOKEN_HISTOGRAM,
+        "events_hourly_verdicts": SQL_EVENTS_HOURLY_VERDICTS,
     }

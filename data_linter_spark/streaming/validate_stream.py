@@ -1,0 +1,92 @@
+"""Structured Streaming validation.
+
+The reference is batch-only (SURVEY.md §2.9). The graft extends the same
+compiled constraint expressions to streams: because every check is a pure
+column expression, the SAME ConstraintSpec list drives batch and streaming
+plans — no separate streaming check implementations.
+
+Three shapes:
+
+- ``stream_row_verdicts``: append per-row ``__failed_tests`` array + ``__valid``
+  flag (stateless projection — any sink, any output mode).
+- ``stream_split``: (valid_stream, violations_stream) — the streaming
+  analogue of the batch pass/fail routing.
+- ``stream_windowed_verdicts``: event-time tumbling-window violation counters
+  with a watermark for late data — the streaming analogue of the grouped
+  verdict pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+
+
+def _plan(df: DataFrame, metadata: Metadata) -> ConstraintPlan:
+    return ConstraintPlan(df, metadata)
+
+
+def stream_row_verdicts(df: DataFrame, metadata: Metadata) -> DataFrame:
+    """Append ``__failed_tests: array<string>`` and ``__valid: boolean``
+    per row. Null oob (e.g. a null value under a min/max test) is NOT a
+    failure, matching the batch null semantics."""
+    plan = _plan(df, metadata)
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.coalesce(s.oob, F.lit(False)),
+                    F.lit(f"{s.col_name}:{s.test_name}"),
+                )
+                for s in plan.specs
+            ]
+        )
+    )
+    return df.withColumn("__failed_tests", failed).withColumn(
+        "__valid", F.size(F.col("__failed_tests")) == 0
+    )
+
+
+def stream_split(
+    df: DataFrame, metadata: Metadata
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, violation_rows). Violation rows carry ``__failed_tests``;
+    valid rows keep the original schema."""
+    flagged = stream_row_verdicts(df, metadata)
+    valid = flagged.filter(F.col("__valid")).drop("__failed_tests", "__valid")
+    violations = flagged.filter(~F.col("__valid")).drop("__valid")
+    return valid, violations
+
+
+def stream_windowed_verdicts(
+    df: DataFrame,
+    metadata: Metadata,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = "10 minutes",
+    extra_group_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Tumbling-window violation counters with late-data handling:
+    ``withWatermark(ts, watermark).groupBy(window(ts, duration), ...)`` over
+    the same fused counter expressions as the batch plan. Works identically
+    on a batch DataFrame (window() is not streaming-specific), which is how
+    the unit tests cross-check stream results against batch results."""
+    plan = _plan(df, metadata)
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    plan.df = src
+    groups = [F.window(F.col(ts_col), window_duration)]
+    if extra_group_cols:
+        groups += [F.col(c) for c in extra_group_cols]
+    out = src.groupBy(*groups).agg(*plan.agg_exprs())
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )

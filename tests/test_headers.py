@@ -1,0 +1,138 @@
+"""Header/column-alignment matrix — ports the reference's
+tests/test_headers.py truth tables (same structural fixtures, fresh data):
+
+For each file x three configs [expect-header=False,
+expect-header=True & case-sensitive, expect-header=True & ignore-case],
+assert the overall verdict triple."""
+
+import json
+
+import pytest
+
+from data_linter_spark.validator import SparkValidator
+
+TABLE1_META = {
+    "name": "table1",
+    "file_format": "csv",
+    "columns": [
+        {"name": "my_int", "type": "int64", "minimum": 10, "maximum": 20,
+         "nullable": False},
+        {"name": "animal", "type": "string",
+         "enum": ["cat", "dog", "fish", "chicken"], "nullable": False},
+        {"name": "my_email", "type": "string"},
+        {"name": "my_datetime", "type": "timestamp(s)"},
+        {"name": "my_date", "type": "date64"},
+    ],
+}
+
+TABLE2_META = {
+    "name": "table2",
+    "file_format": "json",
+    "columns": [
+        {"name": "employee_id", "type": "int64", "nullable": False,
+         "minimum": 100000, "maximum": 999999},
+        {"name": "employee_name", "type": "string"},
+        {"name": "employee_dob", "type": "date64", "nullable": False},
+        {"name": "employee_email", "type": "string"},
+        {"name": "fte", "type": "float64", "minimum": 0, "maximum": 1},
+    ],
+}
+
+CSV_ROWS = [
+    "16,fish,a@example.com,2013-01-14 15:54:20,1993-09-27",
+    "13,cat,b@example.com,2006-12-16 01:44:21,1989-04-08",
+    "11,dog,c@example.com,1999-06-19 11:22:59,2006-10-01",
+]
+J_ROW = {
+    "employee_id": 660148,
+    "employee_name": "Ann Onymous",
+    "employee_dob": "2018-06-06",
+    "employee_email": "ann@example.org",
+    "fte": 0.61,
+}
+
+
+def _write_fixtures(tmp_path):
+    d = tmp_path
+    (d / "table1.csv").write_text(
+        "﻿my_int,animal,my_email,my_datetime,my_date\n"
+        + "\n".join(CSV_ROWS) + "\n"
+    )
+    (d / "table1_mixed_headers.csv").write_text(
+        "MY_INT,aNimAl,my_EMAIL,my_datetime,my_date\n"
+        + "\n".join(CSV_ROWS) + "\n"
+    )
+    (d / "table1_no_header.csv").write_text("\n".join(CSV_ROWS) + "\n")
+    (d / "table1_uppercase.csv").write_text(
+        "MY_INT,ANIMAL,MY_EMAIL,MY_DATETIME,MY_DATE\n"
+        + "\n".join(CSV_ROWS) + "\n"
+    )
+
+    def jl(path, rows):
+        (d / path).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    jl("table2.jsonl", [J_ROW, dict(J_ROW, employee_id=157311)])
+    missing = {k: v for k, v in J_ROW.items() if k != "employee_dob"}
+    jl("table2_missing_keys.jsonl", [J_ROW, missing])
+    mixed = {
+        ("EMPLOYEE_ID" if k == "employee_id" else
+         "Employee_Name" if k == "employee_name" else k): v
+        for k, v in J_ROW.items()
+    }
+    jl("table2_mixed_headers.jsonl", [mixed, mixed])
+    wrong_a = {("EMPLOYEE_ID" if k == "employee_id" else
+                "EMPLOYEE_DOB" if k == "employee_dob" else k): v
+               for k, v in J_ROW.items()}
+    jl("table2_wrong_headers.jsonl", [wrong_a, J_ROW])
+    return d
+
+
+@pytest.mark.parametrize(
+    "file_name,expected_result",
+    [
+        ("table1.csv", [False, True, True]),
+        ("table1_mixed_headers.csv", [False, False, True]),
+        ("table1_no_header.csv", [True, False, False]),
+        ("table2.jsonl", [True, True, True]),
+        ("table2_missing_keys.jsonl", [False, False, False]),
+        ("table2_mixed_headers.jsonl", [False, False, True]),
+        ("table2_wrong_headers.jsonl", [False, False, False]),
+    ],
+)
+def test_headers(spark, tmp_path, file_name, expected_result):
+    d = _write_fixtures(tmp_path)
+    meta = TABLE1_META if file_name.startswith("table1") else TABLE2_META
+    results = []
+    for table_params in (
+        {"expect-header": False},
+        {"expect-header": True, "headers-ignore-case": False},
+        {"expect-header": True, "headers-ignore-case": True},
+    ):
+        v = SparkValidator(str(d / file_name), dict(table_params),
+                           json.loads(json.dumps(meta)), spark=spark)
+        v.read_data_and_validate()
+        results.append(v.valid)
+    assert results == expected_result
+
+
+@pytest.mark.parametrize("uppercase_meta", [True, False])
+@pytest.mark.parametrize("uppercase_data", [True, False])
+@pytest.mark.parametrize("headers_ignore_case", [True, False])
+def test_header_case_with_meta(
+    spark, tmp_path, uppercase_meta, uppercase_data, headers_ignore_case
+):
+    """(case match) OR ignore-case truth table
+    (reference tests/test_headers.py:58-95)."""
+    d = _write_fixtures(tmp_path)
+    meta = json.loads(json.dumps(TABLE1_META))
+    if uppercase_meta:
+        for c in meta["columns"]:
+            c["name"] = c["name"].upper()
+    path = d / ("table1_uppercase.csv" if uppercase_data else "table1.csv")
+    expected = (uppercase_data == uppercase_meta) or headers_ignore_case
+    v = SparkValidator(
+        str(path), {"headers-ignore-case": headers_ignore_case}, meta,
+        spark=spark,
+    )
+    v.read_data_and_validate()
+    assert v.valid == expected

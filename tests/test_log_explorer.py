@@ -1,0 +1,88 @@
+"""Verdict-log exploration tests (reference log_explorer_utils semantics)."""
+
+import json
+import os
+
+from data_linter_spark.log_explorer import (
+    get_all_errors_for_file,
+    get_failed_files,
+    summary_of_all_tables,
+)
+
+
+def _write_logs(tmp_path):
+    base = tmp_path / "log" / "tables"
+    logs = [
+        ("t1", 0, True, "/land/t1.csv", "/pass/t1/t1-0-100.csv"),
+        ("t1", 1, False, "/land/t1b.csv", "/fail/t1/t1b-1-100.csv"),
+        ("t2", 0, False, "/land/t2.csv", "/fail/t2/t2-0-100.csv"),
+        ("t2", 1, False, "/land/t2.csv", "/fail/t2/t2-1-200.csv"),
+    ]
+    for table, n, valid, orig, arch in logs:
+        d = base / table
+        d.mkdir(parents=True, exist_ok=True)
+        rec = {
+            "valid": valid,
+            "table-name": table,
+            "original-path": orig,
+            "archived-path": arch,
+            "response": {"valid": valid},
+        }
+        (d / f"log-{table}-{n}-100.json").write_text(json.dumps(rec))
+    return str(base)
+
+
+def test_summary(spark, tmp_path):
+    base = _write_logs(tmp_path)
+    s = summary_of_all_tables(spark, base)
+    assert s["overall_valid"] is False
+    assert s["fail_count"] == 3
+    assert s["fail_percentage"] == 75.0
+    assert s["tables"]["t1"] == {"n_files": 2, "n_failed": 1, "pct_failed": 50.0}
+    assert s["tables"]["t2"]["n_failed"] == 2
+
+
+def test_failed_files(spark, tmp_path):
+    base = _write_logs(tmp_path)
+    rows = get_failed_files(spark, base).collect()
+    assert {(r["table_name"], r["original_path"]) for r in rows} == {
+        ("t1", "/land/t1b.csv"),
+        ("t2", "/land/t2.csv"),
+    }
+    only_t2 = get_failed_files(spark, base, "t2").collect()
+    assert len(only_t2) == 2
+
+
+def test_errors_for_file_sorted_desc(spark, tmp_path):
+    base = _write_logs(tmp_path)
+    hist = get_all_errors_for_file(spark, base, "/land/t2.csv")
+    assert len(hist) == 2
+    assert hist[0]["ts"] == 200 and hist[1]["ts"] == 100  # newest first
+
+
+def test_summary_after_real_run(spark, tmp_path):
+    """Integration: logs produced by the actual runner are explorable."""
+    from data_linter_spark.runner import run_validation
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "t1.csv").write_text("a,b\n1,x\n999,y\n")
+    meta = tmp_path / "m.json"
+    meta.write_text(json.dumps({
+        "name": "t1", "file_format": "csv",
+        "columns": [{"name": "a", "type": "int64", "maximum": 100},
+                    {"name": "b", "type": "string"}],
+    }))
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir()
+    cfg = {
+        "land-base-path": str(land),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": {"t1": {"metadata": str(meta)}},
+    }
+    run_validation(dict(cfg), spark)
+    s = summary_of_all_tables(spark, os.path.join(str(tmp_path / "log"), "tables"))
+    assert s["overall_valid"] is False
+    assert s["tables"]["t1"]["n_failed"] == 1

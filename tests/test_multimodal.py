@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: schema, mapInPandas batch shape, fan-out, and
+the constraint suite over binary columns (decode itself is the documented
+deterministic fake)."""
+
+import pytest
+
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.functions.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    fake_decode,
+    frame_sample_plan,
+    media_features,
+    media_validation_metadata,
+    real_decode,
+    resize_plan,
+)
+from data_linter_spark.metadata import Metadata
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        ("m1", b"\x89PNGfakebytes", "image/png", 64, 64, None),
+        ("m2", b"RIFFfakewav", "audio/wav", None, None, 2500),
+        ("m3", b"", "image/png", 32, 32, None),  # empty payload
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_features(spark, media_df):
+    out = media_features(media_df).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert rows["m1"]["decode_ok"] is True
+    assert rows["m3"]["decode_ok"] is False
+    assert len(rows["m1"]["features"]) == FEATURE_DIM
+    # deterministic: same payload -> same features
+    assert rows["m1"]["features"] == fake_decode(b"\x89PNGfakebytes",
+                                                 "image/png")["features"]
+
+
+def test_strict_decoder_raises(spark, media_df):
+    with pytest.raises(Exception):  # NotImplementedError inside executors
+        media_features(media_df, strict=True).collect()
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image/png")
+
+
+def test_resize_plan(spark, media_df):
+    out = {r["media_id"]: r for r in
+           resize_plan(media_df, 224, 224).collect()}
+    assert out["m1"]["target_w"] == 224
+    assert bytes(out["m1"]["resized"]).startswith(b"RSZ:224x224:")
+
+
+def test_frame_sample_fanout(spark, media_df):
+    frames = frame_sample_plan(media_df, every_ms=1000).collect()
+    per_id = {}
+    for r in frames:
+        per_id.setdefault(r["media_id"], []).append(r["frame_ms"])
+    # m2: duration 2500ms at 1000ms -> offsets 0,1000,2000
+    assert sorted(per_id["m2"]) == [0, 1000, 2000]
+    # stills (duration null -> 0) produce exactly one frame at 0
+    assert per_id["m1"] == [0]
+
+
+def test_constraint_suite_on_binary_columns(spark, media_df):
+    meta = Metadata(media_validation_metadata())
+    res = ConstraintPlan(media_df, meta).run().get_result()
+    # m3's empty payload violates minLength on the binary column
+    assert res["payload"]["min_max_length_test"]["valid"] is False
+    assert res["mime"]["enum_test"]["valid"] is True
+    assert res["media_id"]["nullable_test"]["valid"] is True

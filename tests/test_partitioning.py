@@ -1,0 +1,45 @@
+"""Partitioning helper tests (the Spark-native replacement for the
+reference's FFD bin-packing, validation.py:254-357)."""
+
+from data_linter_spark.partitioning import (
+    input_bytes_of,
+    size_aware_shuffle_partitions,
+)
+
+
+def test_size_aware_widths():
+    mb = 1024 * 1024
+    assert size_aware_shuffle_partitions(0) == 8  # floor
+    assert size_aware_shuffle_partitions(10 * mb) == 8
+    assert size_aware_shuffle_partitions(1280 * mb) == 10
+    assert size_aware_shuffle_partitions(128 * mb * 50_000) == 20_000  # cap
+    assert size_aware_shuffle_partitions(1280 * mb, target_bytes=64 * mb) == 20
+
+
+def test_input_bytes_skips_hidden(tmp_path):
+    (tmp_path / "a.parquet").write_bytes(b"x" * 100)
+    (tmp_path / "_SUCCESS").write_bytes(b"x" * 50)
+    (tmp_path / ".hidden").write_bytes(b"x" * 50)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.parquet").write_bytes(b"x" * 200)
+    assert input_bytes_of(str(tmp_path)) == 300
+
+
+def test_logging_functions(tmp_path):
+    from data_linter_spark.logging_functions import (
+        get_main_log_path_from_config,
+        logging_setup,
+        upload_log,
+    )
+
+    log, buf = logging_setup("t_log")
+    log.info("hello world", extra={"context": "VALIDATION"})
+    log.info("plain")
+    path = get_main_log_path_from_config(
+        {"log-base-path": str(tmp_path / "logs")}, ts=42
+    )
+    upload_log(log, buf, path)
+    content = open(path).read()
+    assert "hello world" in content and "VALIDATION" in content
+    assert "plain" in content and str(tmp_path) not in content

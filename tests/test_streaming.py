@@ -1,0 +1,112 @@
+"""Structured Streaming validation tests: file source -> availableNow
+trigger -> memory sink; streaming results cross-checked against the batch
+plan on the same data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.streaming import (
+    stream_row_verdicts,
+    stream_split,
+    stream_windowed_verdicts,
+)
+
+META = {
+    "name": "events",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "value", "type": "float64", "minimum": 0.0, "maximum": 100.0},
+        {"name": "event_type", "type": "string",
+         "enum": ["click", "view"], "nullable": False},
+    ],
+}
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:05:00", 50.0, "click"),
+        ("2024-01-01 00:10:00", 500.0, "view"),   # value violation
+        ("2024-01-01 01:05:00", 10.0, "scroll"),  # enum violation
+        ("2024-01-01 01:20:00", None, "click"),   # null value: NOT a violation
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, value double, event_type string")
+    df = df.select(F.col("ts_s").cast("timestamp").alias("ts"), "value",
+                   "event_type")
+    path = str(tmp_path / "stream_in")
+    df.coalesce(1).write.parquet(path)
+    return path, df
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not sdf.isStreaming or True else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_row_verdicts(spark, stream_dir):
+    path, batch_df = stream_dir
+    schema = batch_df.schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+    flagged = stream_row_verdicts(sdf, Metadata(META))
+    _run_to_memory(flagged, "rowverd")
+    rows = {r["ts"].isoformat(): r for r in spark.sql(
+        "SELECT * FROM rowverd").collect()}
+    assert rows["2024-01-01T00:05:00"]["__valid"] is True
+    assert rows["2024-01-01T00:10:00"]["__failed_tests"] == [
+        "value:min_max_test"
+    ]
+    assert rows["2024-01-01T01:05:00"]["__failed_tests"] == [
+        "event_type:enum_test"
+    ]
+    # null under min/max is not a violation (pandas parity)
+    assert rows["2024-01-01T01:20:00"]["__valid"] is True
+
+
+def test_stream_split(spark, stream_dir):
+    path, batch_df = stream_dir
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    valid, viol = stream_split(sdf, Metadata(META))
+    _run_to_memory(valid, "vs_valid")
+    _run_to_memory(viol, "vs_viol")
+    assert spark.sql("SELECT * FROM vs_valid").count() == 2
+    vrows = spark.sql("SELECT * FROM vs_viol").collect()
+    assert len(vrows) == 2
+    assert all(r["__failed_tests"] for r in vrows)
+    # valid stream keeps the original schema
+    assert spark.sql("SELECT * FROM vs_valid").columns == ["ts", "value",
+                                                           "event_type"]
+
+
+def test_stream_windowed_verdicts_match_batch(spark, stream_dir):
+    path, batch_df = stream_dir
+    meta = Metadata(META)
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    windowed = stream_windowed_verdicts(sdf, meta, "ts", "1 hour")
+    q = (
+        windowed.writeStream.format("memory").queryName("winverd")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r["window_start"].isoformat(): r.asDict()
+        for r in spark.sql("SELECT * FROM winverd").collect()
+    }
+    batch_rows = {
+        r["window_start"].isoformat(): r.asDict()
+        for r in stream_windowed_verdicts(batch_df, meta, "ts", "1 hour").collect()
+    }
+    assert stream_rows == batch_rows
+    h0 = stream_rows["2024-01-01T00:00:00"]
+    assert h0["__viol__value__min_max_test"] == 1
+    assert h0["__viol__event_type__enum_test"] == 0
+    h1 = stream_rows["2024-01-01T01:00:00"]
+    assert h1["__viol__event_type__enum_test"] == 1
+    assert h1["__viol__value__min_max_test"] == 0  # null not a violation

@@ -1,0 +1,81 @@
+"""Dump formatted physical plans for the headline queries and grep them for
+the properties that matter at scale:
+
+- scan column pruning (ReadSchema should list only referenced columns)
+- predicate pushdown (PushedFilters non-empty when a filter exists)
+- WholeStageCodegen coverage over the aggregation pipeline
+- broadcast joins where a small side exists (BroadcastHashJoin)
+
+Usage: python tools/explain_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    "suite_lineitem": {
+        "read_schema_only_needed": lambda p: (
+            "l_shipdate" not in p and "l_partkey" not in p
+        ),
+        "codegen": lambda p: "WholeStageCodegen" in p,
+        "single_scan": lambda p: p.count("Scan parquet") == 1,
+    },
+    "ref_events_users": {
+        "broadcast_anti": lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p,
+    },
+    "ann_cosine_topk": {
+        "broadcast_queries": lambda p: "Broadcast" in p,
+    },
+    "unique_lineitem": {
+        "partial_agg": lambda p: "partial_count" in p or "HashAggregate" in p,
+        "prunes_to_key": lambda p: "l_quantity" not in p,
+    },
+    "hist_events_value": {
+        "pushed_notnull": lambda p: "IsNotNull" in p,
+        "prunes_to_value": lambda p: "event_type" not in p,
+    },
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="explain_check", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        checks = CHECKS.get(name, {})
+        verdicts = {k: c(p) for k, c in checks.items()}
+        wsc = len(re.findall(r"WholeStageCodegen", p))
+        print(f"{name:28s} codegen_spans={wsc:2d} "
+              + " ".join(f"{k}={'OK' if v else 'FAIL'}"
+                         for k, v in verdicts.items()))
+        failures += sum(1 for v in verdicts.values() if not v)
+        if only:
+            print(p)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

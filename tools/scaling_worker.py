@@ -1,0 +1,81 @@
+"""One measured run at a given parallelism — launched as a FRESH process per
+cluster size so each JVM is isolated (the sandbox stand-in for N vs 4N
+executor clusters; see BASELINE.md protocol).
+
+    python tools/scaling_worker.py <cpus> <parquet_path> <trials>
+
+Workload = the full validation job over the tokens table:
+  1. fused constraint suite + uniqueness HLL screen (one map+agg pass)
+  2. exact duplicate stats (shuffle: two-stage salted groupBy)
+  3. referential check of source against a small dim (broadcast anti-join)
+Prints one JSON line with per-stage and total wall times (best of trials).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_linter_spark.checks.referential import ref_violations_df  # noqa: E402
+from data_linter_spark.checks.unique import (  # noqa: E402
+    duplicate_stats,
+    uniqueness_screen_exprs,
+)
+from data_linter_spark.compiler import ConstraintPlan  # noqa: E402
+from data_linter_spark.metadata import Metadata  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+from data_linter_spark.tokens import tokens_metadata  # noqa: E402
+
+
+def main() -> None:
+    cpus, path, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+    spark = get_spark(
+        app_name=f"scaling_bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    plan = ConstraintPlan(df, Metadata(tokens_metadata(strict=True)))
+    aggs = [*plan.agg_exprs(), *uniqueness_screen_exprs("doc_id")]
+    # a true small dimension (what a referential rule references) — building
+    # it by scanning the fact table would add a fixed-cost job that masks
+    # scaling
+    dim_values = [("common_crawl",)] + [(f"source_{i}",) for i in range(37)]
+    sources = spark.createDataFrame(dim_values, "source string")
+
+    def run_once() -> dict:
+        t = {}
+        t0 = time.perf_counter()
+        df.agg(*aggs).collect()
+        t["suite"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        duplicate_stats(df, "doc_id")
+        t["exact_dedup"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ref_violations_df(df, "source", sources, "source").count()
+        t["referential"] = time.perf_counter() - t0
+        t["total"] = sum(t.values())
+        return t
+
+    run_once()  # warmup (JIT + page cache)
+    best = min((run_once() for _ in range(trials)), key=lambda d: d["total"])
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rows": n_rows,
+                "times": {k: round(v, 3) for k, v in best.items()},
+                "rows_per_sec": round(n_rows / best["total"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
