@@ -38,6 +38,11 @@ def materialize(n_rows: int) -> str:
     any measurement starts (a stopped SparkContext keeps its JVM alive as
     long as the parent Python process lives, and that JVM can keep burning
     CPU — observed contaminating a measurement run)."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_PATH")
+    if override:
+        return override  # e.g. a tmpfs copy: disk bandwidth is NOT the
+        # engine's property, and measuring through /dev/shm removes the
+        # sandbox's virtual-disk ceiling from the scaling measurement
     path = f"/tmp/spark_graft_bench/tokens_{n_rows}.parquet"
     if os.path.exists(path):
         return path
