@@ -9,17 +9,21 @@ Five families (SURVEY-mandated training-pipeline ops):
   Jaccard verify. All hashing is CROSS-ENGINE PORTABLE (md5 -> first 8 hex
   digits -> int via fixed positional arithmetic -> affine permutations mod
   a Mersenne prime), so a DuckDB oracle can reproduce signatures bit-for-bit.
-- **SimHash**: 64-bit sign-aggregated xxhash64 over shingles (Spark-native;
-  rows-only correctness check — xxhash64 is not portable to DuckDB)
-- **embedding cosine near-dup**: self-join above a cosine threshold
-  (brute force baseline; LSH-bucketed scale path in functions/similarity.py)
+- **SimHash**: 63-bit sign-aggregated fingerprint over shingles. The per-
+  shingle hash is the same portable md5->hex8 arithmetic as MinHash (two
+  32-bit chunks), so a DuckDB oracle reproduces fingerprints bit-for-bit.
+- **embedding cosine near-dup**: random-hyperplane LSH bucketing for
+  candidates + exact cosine verify (the scale path); an all-pairs exact
+  variant is kept for small-n recall verification only.
 
 Scale notes (100 TB): the shingle explode is a map-side flatMap (no shuffle);
 signature computation is ONE groupBy(doc) with n_hashes min-aggregations
-(partial aggregation map-side); the LSH bucket join shuffles only
-(band_idx, band_key) pairs — the whole point of banding is that this join's
-fan-out is the collision volume, not |docs|^2. Exact-Jaccard verify touches
-only candidate pairs.
+(partial aggregation map-side); band/block melts are a single
+array-of-structs `explode` over the signature relation (the signatures are
+computed ONCE — no per-band recompute of the upstream aggregation); the LSH
+bucket join shuffles only (band_idx, band_key) pairs — the whole point of
+banding is that this join's fan-out is the collision volume, not |docs|^2.
+Exact-Jaccard / exact-cosine verify touches only candidate pairs.
 """
 
 from __future__ import annotations
@@ -125,20 +129,25 @@ def lsh_bands(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Melt signatures to (id, band_idx, band_key): band_key concatenates the
-    band's minhash values."""
-    pieces = []
+    band's minhash values.
+
+    One projection + one ``explode`` of an array-of-structs: the upstream
+    signature aggregation is evaluated ONCE (a union of per-band selects
+    would re-run the shingle scan + groupBy once per band)."""
+    entries = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        pieces.append(
-            signatures.select(
-                "id", F.lit(b).alias("band_idx"), key.alias("band_key")
-            )
+        entries.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+    return signatures.select(
+        "id", F.explode(F.array(*entries)).alias("__band")
+    ).select(
+        "id",
+        F.col("__band.band_idx").alias("band_idx"),
+        F.col("__band.band_key").alias("band_key"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -241,22 +250,34 @@ def minhash_near_dups(
 # -- simhash ----------------------------------------------------------------
 
 
+SIMHASH_BITS = 63  # fingerprint stays non-negative in a signed int64
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """64-bit SimHash over word shingles: bit k of the fingerprint is the
-    sign of the sum over shingles of (2*bit_k(xxhash64(shingle)) - 1).
-    One explode + one groupBy with 64 sum-aggregations (all JVM-side)."""
+    """63-bit SimHash over word shingles: bit k of the fingerprint is the
+    sign of the sum over shingles of (2*bit_k(hash(shingle)) - 1).
+    One explode + one groupBy with 63 sum-aggregations (all JVM-side).
+
+    The per-shingle hash is PORTABLE: md5 -> two hex8 chunks -> two 32-bit
+    longs (same fixed positional arithmetic as :func:`hex8_to_long`), so the
+    DuckDB oracle reproduces fingerprints bit-for-bit."""
     sh = word_shingles(df, id_col, text_col, n)
-    h = F.xxhash64(F.col("shingle"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"b{k}")
-        for k in range(64)
-    ]
-    sums = sh.groupBy("id").agg(*aggs)
+    hx = F.md5(F.col("shingle").cast("binary"))
+    with_h = sh.select(
+        "id",
+        hex8_to_long(F.substring(hx, 1, 8)).alias("__lo"),
+        hex8_to_long(F.substring(hx, 9, 8)).alias("__hi"),
+    )
+    aggs = []
+    for k in range(SIMHASH_BITS):
+        src = F.col("__lo") if k < 32 else F.col("__hi")
+        bit = F.shiftright(src, k % 32).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{k}")
+        )
+    sums = with_h.groupBy("id").agg(*aggs)
     fp = F.lit(0).cast("long")
-    for k in range(63):  # keep bit 63 clear: fingerprint stays non-negative
+    for k in range(SIMHASH_BITS):
         fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(2**k).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -268,24 +289,30 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     block trick: split the 63 used bits into (max_hamming+1) blocks — any
-    pair within distance k agrees exactly on >= 1 block — join per block,
-    verify with popcount. Avoids the full self-join."""
+    pair within distance k agrees exactly on >= 1 block (pigeonhole, so the
+    candidate set is LOSSLESS) — join per block, verify with popcount.
+    Avoids the full self-join; the block melt is a single explode (the
+    fingerprint aggregation runs once)."""
     fps = simhash64(df, id_col, text_col, n)
     n_blocks = max_hamming + 1
-    width = 63 // n_blocks + 1
-    pieces = []
-    for blk in range(n_blocks):
-        key = F.shiftright(F.col("simhash"), blk * width).bitwiseAND(
-            F.lit((1 << width) - 1)
+    width = SIMHASH_BITS // n_blocks + 1
+    entries = [
+        F.struct(
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), blk * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
         )
-        pieces.append(
-            fps.select(
-                "id", F.col("simhash"), F.lit(blk).alias("blk"), key.alias("key")
-            )
-        )
-    melted = pieces[0]
-    for p in pieces[1:]:
-        melted = melted.unionAll(p)
+        for blk in range(n_blocks)
+    ]
+    melted = fps.select(
+        "id", "simhash", F.explode(F.array(*entries)).alias("__blk")
+    ).select(
+        "id",
+        "simhash",
+        F.col("__blk.blk").alias("blk"),
+        F.col("__blk.key").alias("key"),
+    )
     left = melted.select(
         "blk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
     )
@@ -298,7 +325,7 @@ def simhash_near_dups(
         .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return cands.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
@@ -308,10 +335,68 @@ def simhash_near_dups(
 
 
 def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    dim: int | None = None,
+    bands: int = 6,
+    planes_per_band: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold via random-hyperplane LSH.
+
+    Scale shape: each vector gets ``bands`` signature keys (8 sign bits per
+    band, one explode); candidates = id pairs sharing >= 1 (band, key)
+    bucket — the bucket join shuffles only (band, key, id), never vectors or
+    |docs|^2 pairs; exact cosine verifies candidates after re-joining the
+    vectors by id. Identical vectors collide in EVERY band, so recall on
+    exact duplicates is 1.0; a pair at cosine c survives a band w.p.
+    (1 - acos(c)/pi)^8, OR'd over bands. The all-pairs exact variant is
+    :func:`embedding_near_dups_exact` (small-n recall verification only)."""
+    from data_linter_spark.functions.similarity import (
+        _planes,
+        cosine_expr,
+        lsh_signature,
+    )
+
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    all_planes = _planes(dim, bands * planes_per_band, seed)
+    entries = []
+    for b in range(bands):
+        sig = lsh_signature(
+            F.col(vec_col),
+            all_planes[b * planes_per_band : (b + 1) * planes_per_band],
+        )
+        entries.append(F.struct(F.lit(b).alias("band"), sig.alias("key")))
+    melted = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("__e")
+    ).select("id", F.col("__e.band").alias("band"), F.col("__e.key").alias("key"))
+    cands = (
+        melted.alias("l")
+        .join(melted.alias("r"), on=["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )
+
+
+def embedding_near_dups_exact(
     emb: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold (exact self-join baseline;
-    for large corpora use functions.similarity.cosine_topk_lsh buckets)."""
+    """All-pairs exact variant — O(n^2); ONLY for verifying the LSH path's
+    recall on small corpora."""
     from data_linter_spark.functions.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

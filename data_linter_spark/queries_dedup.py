@@ -16,19 +16,24 @@ from data_linter_spark.functions import dedup as dd
 from data_linter_spark.functions import text as tx
 
 MUT_EVERY = 25
-MUT_OFFSET = 10_000
 MUT_TAIL = " mutated tail tokens"
 
 N_HASHES, BANDS, ROWS_PER_BAND = 32, 8, 4
 MIN_JACCARD = 0.6
+MAX_HAMMING = 3
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies of every 25th doc. The mutated-copy id
+    offset is DERIVED FROM THE DATA (max(doc_id)+1) so planted ids can never
+    collide with real ids at any scale factor; the oracle CTE computes the
+    identical offset with a scalar subquery."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     mutated = docs.filter(F.col("doc_id") % MUT_EVERY == 0).select(
-        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(MUT_TAIL)).alias("text"),
     )
     return docs.unionAll(mutated)
@@ -38,7 +43,8 @@ SQL_CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {MUT_OFFSET} AS doc_id, text || '{MUT_TAIL}' AS text
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         text || '{MUT_TAIL}' AS text
   FROM documents WHERE doc_id % {MUT_EVERY} = 0
 )
 """
@@ -161,14 +167,50 @@ WHERE i.inter / (za.sz + zb.sz - i.inter) >= {MIN_JACCARD}
 
 
 # ---------------------------------------------------------------------------
-# simhash near-dup (rows-only: xxhash64 is not portable to DuckDB)
+# simhash near-dup (full oracle — portable md5 fingerprints)
 # ---------------------------------------------------------------------------
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(
-        _corpus(spark, sf_dir), "doc_id", "text", max_hamming=3
+        _corpus(spark, sf_dir), "doc_id", "text", max_hamming=MAX_HAMMING
     )
+
+
+def _sql_simhash() -> str:
+    """Oracle mirrors the fingerprint computation bit-for-bit, then verifies
+    with an ALL-PAIRS hamming join — independently proving the Spark side's
+    block-trick candidate generation is lossless (pigeonhole)."""
+    lo = dd.sql_hex8_to_long("substr(md5(shingle), 1, 8)")
+    hi = dd.sql_hex8_to_long("substr(md5(shingle), 9, 8)")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({'lo' if k < 32 else 'hi'} >> {k % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(dd.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{k} > 0 THEN CAST({2 ** k} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for k in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH {SQL_CORPUS_CTE.strip()},
+{SQL_SHINGLES_CTE.strip()},
+hs AS (SELECT id, {lo} AS lo, {hi} AS hi FROM shingles),
+sums AS (
+  SELECT id,
+         {bit_sums}
+  FROM hs GROUP BY id
+),
+fps AS (SELECT id, ({fp}) AS simhash FROM sums)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 # ---------------------------------------------------------------------------
@@ -180,11 +222,17 @@ EMB_MIN_COS = 0.99
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs over embeddings ∪ planted identical
+    copies. The ORACLE is the exact all-pairs SQL — so this row passing
+    means the bucketed plan's recall on this corpus is exactly 1.0 (planted
+    identical vectors collide in every band; independent 64-dim vectors
+    essentially never reach cosine 0.99)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
     copies = emb.filter(F.col("vec_id") % EMB_MUT_EVERY == 0).select(
-        (F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
     )
     corpus = emb.unionAll(copies)
     out = dd.embedding_near_dups(corpus, "vec_id", "embedding", EMB_MIN_COS)
@@ -195,7 +243,9 @@ SQL_DEDUP_EMBEDDING = f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + {MUT_OFFSET}, CAST(embedding AS DOUBLE[]) FROM embeddings
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+         CAST(embedding AS DOUBLE[])
+  FROM embeddings
   WHERE vec_id % {EMB_MUT_EVERY} = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -339,7 +389,7 @@ DEDUP_QUERIES = {
 DEDUP_ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
-    # dedup_simhash: rows-only (xxhash64 not reproducible in DuckDB)
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "text_quality_by_source": SQL_TEXT_QUALITY,
     "lang_id_counts": SQL_LANG_ID,

@@ -246,3 +246,63 @@ def test_content_fingerprint_normalizes(spark):
     )
     a, b = [r[0] for r in df.select(content_fingerprint_md5(F.col("t"))).collect()]
     assert a == b
+
+
+def test_embedding_lsh_recall_vs_exact_on_real_embeddings(spark):
+    """The LSH-bucketed near-dup path must find exactly the pairs the exact
+    all-pairs path finds on the real sf0.001 embeddings corpus with planted
+    identical copies (identical vectors collide in every band)."""
+    import os
+
+    from data_linter_spark.functions.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(corpus, "vec_id", "embedding", 0.99).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups_exact(corpus, "vec_id", "embedding",
+                                       0.99).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_lsh_topk_recall_measured_on_real_embeddings(spark):
+    """Measured recall@10 of cosine_topk_lsh vs exact cosine_topk on the real
+    embeddings corpus. LSH trades recall for pruning — assert a floor and
+    print the measured number so each round records it."""
+    import os
+
+    import pytest
+
+    from data_linter_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = cosine_topk(queries, emb, "embedding", "embedding",
+                        "vec_id", "vec_id", k=10)
+    approx = cosine_topk_lsh(queries, emb, "embedding", "embedding",
+                             "vec_id", "vec_id", dim=64, k=10, n_planes=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    print(f"\nLSH topk recall@10 (n_planes=4): {recall:.3f}")
+    assert recall >= 0.3  # 4-plane/16-bucket pruning on near-uniform vectors
