@@ -79,15 +79,21 @@ class ConstraintSpec:
 # strptime -> Spark (java.time) datetime pattern translation
 # ---------------------------------------------------------------------------
 
+# Single-letter java.time patterns (M, d, H, m, s, h) accept 1-2 digit
+# fields, matching Python strptime's acceptance of non-zero-padded values
+# ('2024-1-1' parses under %Y-%m-%d in both strptime and DuckDB; 'MM'/'dd'
+# would reject it). 'SSSSSS' accepts 1-6 fraction digits under Spark's
+# CORRECTED parser, matching %f (verified empirically; parity test in
+# tests/test_column_checks.py).
 _STRPTIME_MAP = {
     "%Y": "yyyy",
     "%y": "yy",
-    "%m": "MM",
-    "%d": "dd",
-    "%H": "HH",
-    "%I": "hh",
-    "%M": "mm",
-    "%S": "ss",
+    "%m": "M",
+    "%d": "d",
+    "%H": "H",
+    "%I": "h",
+    "%M": "m",
+    "%S": "s",
     "%f": "SSSSSS",
     "%p": "a",
     "%b": "MMM",

@@ -123,6 +123,113 @@ FROM tokens_tbl
 
 
 # ---------------------------------------------------------------------------
+# 2b. date/datetime format tests over string dates derived from events.ts —
+#     exercises strptime translation, the midnight rule, the empty-string
+#     rule, a non-default format, and variable-length %f fractions
+#     (reference _date_format_test/_datetime_format_test + midnight rule,
+#     pandas_validator.py:289-339). Oracle parses with DuckDB try_strptime,
+#     which shares Python strptime's directive semantics.
+# ---------------------------------------------------------------------------
+
+DATES_META = {
+    "name": "dates",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "d_date", "type": "date32"},
+        {"name": "d_dt", "type": "date32",
+         "datetime_format": "%Y-%m-%d %H:%M:%S"},
+        {"name": "dt_custom", "type": "timestamp[s]",
+         "datetime_format": "%d/%m/%Y %H:%M"},
+        {"name": "dt_frac", "type": "timestamp[s]",
+         "datetime_format": "%Y-%m-%d %H:%M:%S.%f"},
+    ],
+}
+
+
+def dates_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-date table derived deterministically from events: planted bad
+    formats (%11), time-component-on-date rows (%7 — midnight rule), empty
+    strings (%17, %29 — valid per reference), nulls (%19 — valid), garbage
+    datetimes (%23), and 1-digit/"bad" fractions (%31/%37)."""
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ts = F.col("ts")
+    iso_d = F.date_format(ts, "yyyy-MM-dd")
+    iso_s = F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    d_date = (
+        F.when(eid % 19 == 0, F.lit(None).cast("string"))
+        .when(eid % 17 == 0, F.lit(""))
+        .when(eid % 11 == 0, F.date_format(ts, "yyyy/MM/dd"))
+        .otherwise(iso_d)
+    )
+    d_dt = (
+        F.when(eid % 7 == 0, iso_s)
+        .otherwise(F.concat(iso_d, F.lit(" 00:00:00")))
+    )
+    dt_custom = (
+        F.when(eid % 23 == 0, F.lit("not a date"))
+        .when(eid % 29 == 0, F.lit(""))
+        .otherwise(F.date_format(ts, "dd/MM/yyyy HH:mm"))
+    )
+    dt_frac = (
+        F.when(eid % 37 == 0, F.concat(iso_s, F.lit(".x")))
+        .when(eid % 31 == 0, F.concat(iso_s, F.lit(".5")))
+        .otherwise(F.concat(iso_s, F.lit(".250000")))
+    )
+    return ev.select(
+        d_date.alias("d_date"),
+        d_dt.alias("d_dt"),
+        dt_custom.alias("dt_custom"),
+        dt_frac.alias("dt_frac"),
+    )
+
+
+def q_suite_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dates_from_events(spark, sf_dir)
+    return ConstraintPlan(df, Metadata(DATES_META)).verdict_df()
+
+
+def _sql_date_viol(col: str, fmt: str, midnight: bool) -> str:
+    p = f"try_strptime({col}, '{fmt}')"
+    bad = f"{p} IS NULL"
+    if midnight:
+        bad = f"({bad} OR {p} <> date_trunc('day', {p}))"
+    return (f"CAST(SUM(CASE WHEN {col} IS NOT NULL AND {col} <> '' AND {bad} "
+            f"THEN 1 ELSE 0 END) AS BIGINT)")
+
+
+SQL_SUITE_DATES = f"""
+WITH dates_tbl AS (
+  SELECT
+    CASE WHEN event_id % 19 = 0 THEN NULL
+         WHEN event_id % 17 = 0 THEN ''
+         WHEN event_id % 11 = 0 THEN strftime(ts, '%Y/%m/%d')
+         ELSE strftime(ts, '%Y-%m-%d') END AS d_date,
+    CASE WHEN event_id % 7 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+         ELSE strftime(ts, '%Y-%m-%d') || ' 00:00:00' END AS d_dt,
+    CASE WHEN event_id % 23 = 0 THEN 'not a date'
+         WHEN event_id % 29 = 0 THEN ''
+         ELSE strftime(ts, '%d/%m/%Y %H:%M') END AS dt_custom,
+    CASE WHEN event_id % 37 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || '.x'
+         WHEN event_id % 31 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || '.5'
+         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || '.250000' END AS dt_frac
+  FROM events
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  {_sql_date_viol("d_date", "%Y-%m-%d", True)}
+      AS "__viol__d_date__date_format_test",
+  {_sql_date_viol("d_dt", "%Y-%m-%d %H:%M:%S", True)}
+      AS "__viol__d_dt__date_format_test",
+  {_sql_date_viol("dt_custom", "%d/%m/%Y %H:%M", False)}
+      AS "__viol__dt_custom__datetime_format_test",
+  {_sql_date_viol("dt_frac", "%Y-%m-%d %H:%M:%S.%f", False)}
+      AS "__viol__dt_frac__datetime_format_test"
+FROM dates_tbl
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. per-partition (grouped) verdicts over documents — the graft's
 #    per-Iceberg-partition verdict rows (SURVEY.md §3.3)
 # ---------------------------------------------------------------------------
@@ -507,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **DEDUP_QUERIES,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
+        "suite_dates": q_suite_dates,
         "verdicts_by_source": q_verdicts_by_source,
         "unique_lineitem": q_unique_lineitem,
         "unique_tokens_docid": q_unique_tokens_docid,
@@ -529,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         **DEDUP_ORACLES,
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
+        "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,
         "unique_tokens_docid": SQL_UNIQUE_TOKENS_DOCID,

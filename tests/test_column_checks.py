@@ -356,9 +356,11 @@ def test_no_samples_without_verbosity(spark):
 
 
 def test_strptime_translation():
-    assert strptime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
-    assert strptime_to_spark("%d/%m/%Y %H:%M:%S") == "dd/MM/yyyy HH:mm:ss"
-    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    # single-letter patterns accept 1-2 digit fields, matching strptime's
+    # acceptance of non-zero-padded values
+    assert strptime_to_spark("%Y-%m-%d") == "yyyy-M-d"
+    assert strptime_to_spark("%d/%m/%Y %H:%M:%S") == "d/M/yyyy H:m:s"
+    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-M-d'T'H:m:s"
 
 
 def test_array_column_constraints(spark):
@@ -391,3 +393,64 @@ def test_array_column_constraints(spark):
     assert res["min_max_test"]["valid"] is False  # 60000 out of range
     assert res["min_max_length_test"]["valid"] is True  # sizes 3,2,-,1 ok
     assert res["valid"] is False
+
+
+def test_strptime_parity_fraction_and_padding(spark):
+    """Python-strptime parity for the translated formats: variable-length
+    %f fractions (1-6 digits) and non-zero-padded month/day/hour fields are
+    all VALID; trailing garbage and bad fractions are violations — matches
+    datetime.strptime acceptance (reference parses with strptime,
+    pandas_validator.py:323-334)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_linter_spark.checks.column import (
+        datetime_format_oob,
+        strptime_to_spark,
+    )
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    values = [
+        "2024-01-01 00:00:00.5",
+        "2024-01-01 00:00:00.500000",
+        "2024-01-01 00:00:00.x",
+        "2024-1-1 7:5:3.25",
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00.123456789",
+    ]
+
+    def py_ok(v):
+        try:
+            datetime.strptime(v, fmt)
+            return True
+        except ValueError:
+            return False
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    oob = datetime_format_oob(F.col("s"), {"name": "s", "datetime_format": fmt})
+    got = [bool(r[0]) for r in df.select(
+        F.coalesce(oob, F.lit(False))).collect()]
+    assert got == [not py_ok(v) for v in values], (
+        f"fmt={strptime_to_spark(fmt)} got={got}"
+    )
+
+
+def test_suite_dates_counters_nonzero(spark):
+    """The planted violations in dates_from_events must actually register —
+    guards against a derivation change silently making the oracle row
+    trivially all-zero."""
+    import os
+
+    import pytest
+
+    from data_linter_spark.queries import q_suite_dates
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("testdata not present")
+    row = q_suite_dates(spark, sf_dir).collect()[0].asDict()
+    assert row["__total_rows"] > 0
+    for k, v in row.items():
+        if k.startswith("__viol__"):
+            assert v > 0, f"{k} planted no violations"
