@@ -24,6 +24,13 @@ from data_linter_spark.response import ValidatorResult
 
 TOTAL_ALIAS = "__total_rows"
 ROW_ID_COL = "__row_id"
+VIOLATED_TESTS_COL = "__violated_tests"
+# log_verbosity == 0 means "all violations" in the reference
+# (pandas_validator.py:358-380, collected into the response dict). At 10^12
+# rows that collect OOMs the driver, so driver-side samples are capped here
+# and the FULL violation set is exposed as a DataFrame (violations_df) to be
+# WRITTEN to a sink instead — documented divergence (SURVEY.md §7).
+VERBOSITY0_SAMPLE_CAP = 1000
 
 
 class ConstraintPlan:
@@ -129,49 +136,73 @@ class ConstraintPlan:
             )
         return response
 
+    def _row_id(self) -> F.Column:
+        if self.row_id_col and self.row_id_col in self.df.columns:
+            return F.col(self.row_id_col)
+        return F.monotonically_increasing_id()
+
     def _violation_samples(
         self, failing: list[ConstraintSpec]
     ) -> dict[str, tuple[list, list]]:
-        """Narrow second pass: ONE scan computes every failing test's oob
-        flag; rows violating anything are kept, then sampled per test
-        driver-side. reference: index/value sampling in _fill_res_dict
+        """Narrow second pass: one filter+limit job PER FAILING TEST, so every
+        failing test is guaranteed up to ``log_verbosity`` samples regardless
+        of how other tests' violations are distributed (a shared capped scan
+        can starve a rare test). ``limit`` early-exits the scan, and the
+        number of failing tests is small, so this stays cheap at scale.
+
+        reference: index/value sampling in _fill_res_dict
         (pandas_validator.py:358-380); sampling here is deterministic
         (first-k in row order) rather than pandas' random ``.sample`` —
         recorded divergence (SURVEY.md §7), reference tests assert only
-        counts/validity."""
+        counts/validity. log_verbosity == 0 (reference: ALL violations) is
+        capped at VERBOSITY0_SAMPLE_CAP driver-side; use violations_df() to
+        sink the full set."""
         n = self.log_verbosity
-        df = self.df
-        if self.row_id_col and self.row_id_col in df.columns:
-            rid = F.col(self.row_id_col)
-        else:
-            rid = F.monotonically_increasing_id()
-        flags = [spec.oob.alias(spec.alias) for spec in failing]
-        values = {}
+        cap = VERBOSITY0_SAMPLE_CAP if n == 0 else n
+        rid = self._row_id()
+        out: dict[str, tuple[list, list]] = {}
         for spec in failing:
-            if spec.col_name not in values:
-                values[spec.col_name] = F.col(spec.col_name).cast("string").alias(
-                    f"__val__{spec.col_name}"
+            rows = (
+                self.df.select(
+                    rid.alias(ROW_ID_COL),
+                    F.col(spec.col_name).cast("string").alias("__val"),
+                    F.coalesce(spec.oob, F.lit(False)).alias("__oob"),
                 )
-        sel = df.select(rid.alias(ROW_ID_COL), *flags, *values.values())
-        any_oob = None
-        for spec in failing:
-            c = F.coalesce(F.col(spec.alias), F.lit(False))
-            any_oob = c if any_oob is None else (any_oob | c)
-        sel = sel.filter(any_oob)
-        # n == 0 -> ALL violations (reference log_verbosity==0 semantics)
-        per_test_cap = None if n == 0 else n
-        out: dict[str, tuple[list, list]] = {s.alias: ([], []) for s in failing}
-        rows = (
-            sel.collect()
-            if per_test_cap is None
-            else sel.limit(per_test_cap * max(1, len(failing)) * 4).collect()
-        )
-        for r in rows:
-            d = r.asDict()
-            for spec in failing:
-                if d.get(spec.alias):
-                    idx, vals = out[spec.alias]
-                    if per_test_cap is None or len(idx) < per_test_cap:
-                        idx.append(d[ROW_ID_COL])
-                        vals.append(d[f"__val__{spec.col_name}"])
+                .filter(F.col("__oob"))
+                .limit(cap)
+                .collect()
+            )
+            out[spec.alias] = (
+                [r[ROW_ID_COL] for r in rows],
+                [r["__val"] for r in rows],
+            )
         return out
+
+    def violations_df(
+        self, specs: Optional[list[ConstraintSpec]] = None
+    ) -> DataFrame:
+        """ALL violating rows as a DataFrame — the scalable replacement for
+        the reference's collect-everything log_verbosity==0: original columns
+        plus ``__row_id`` and a ``__violated_tests`` array naming each failed
+        (column, test). Written to a sink by the runner
+        (``violations-base-path``), never collected to the driver."""
+        specs = self.specs if specs is None else specs
+        if not specs:
+            return self.df.limit(0).withColumn(
+                VIOLATED_TESTS_COL, F.array().cast("array<string>")
+            )
+        tagged = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.coalesce(s.oob, F.lit(False)), F.lit(s.alias)
+                    )
+                    for s in specs
+                ]
+            )
+        )
+        return (
+            self.df.withColumn(ROW_ID_COL, self._row_id())
+            .withColumn(VIOLATED_TESTS_COL, tagged)
+            .filter(F.size(VIOLATED_TESTS_COL) > 0)
+        )

@@ -127,14 +127,26 @@ def validate_data(config: dict, spark: SparkSession) -> list[dict]:
                 **kwargs,
             )
             validator.read_data_and_validate()
-            responses.append(
-                {
-                    "valid": validator.valid,
-                    "response": validator.get_response_dict(),
-                    "original-path": matched_file,
-                    "table-name": table_name,
-                }
-            )
+            rec = {
+                "valid": validator.valid,
+                "response": validator.get_response_dict(),
+                "original-path": matched_file,
+                "table-name": table_name,
+            }
+            viol_base = config.get("violations-base-path")
+            if (
+                viol_base
+                and not validator.valid
+                and isinstance(validator, SparkValidator)
+            ):
+                # full violation set to a distributed sink (never the
+                # driver) — graft replacement for the reference's
+                # collect-all log_verbosity==0
+                stem = os.path.basename(matched_file).split(".", 1)[0]
+                out = os.path.join(viol_base, table_name, stem)
+                if validator.write_violations(out):
+                    rec["violations-path"] = out
+            responses.append(rec)
     return responses
 
 

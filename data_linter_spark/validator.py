@@ -59,6 +59,7 @@ class SparkValidator:
         self.log_verbosity = table_params.get("log_verbosity", log_verbosity)
         self.row_id_col = row_id_col
         self.response = ValidatorResult()
+        self.plan: Optional[ConstraintPlan] = None
 
     # -- reference-parity API ------------------------------------------
     @property
@@ -98,7 +99,7 @@ class SparkValidator:
     ) -> None:
         """Compile all requested constraints + cast-conformance counters into
         one aggregation pass and fill the response."""
-        plan = ConstraintPlan(
+        plan = self.plan = ConstraintPlan(
             df,
             self.metadata,
             log_verbosity=self.log_verbosity,
@@ -134,6 +135,17 @@ class SparkValidator:
             plan.fill_from_row(row, self.response)
         else:
             plan.run(self.response)
+
+    def write_violations(self, path: str, fmt: str = "parquet") -> bool:
+        """Write EVERY violating row (original columns + __row_id +
+        __violated_tests) to ``path`` via a distributed df.write — the
+        scalable form of the reference's log_verbosity==0 collect-all.
+        Returns False when there is no compiled plan (read failed or no
+        constraints)."""
+        if self.plan is None:
+            return False
+        self.plan.violations_df().write.mode("overwrite").format(fmt).save(path)
+        return True
 
 
 class SparkSchemaValidator:

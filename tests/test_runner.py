@@ -253,3 +253,111 @@ def test_schema_validator_engine(spark, tmp_path):
             t = resp["check_schema_conforms"]
             assert t["cols_in_meta_not_in_file"] == ["missing"]
             assert "a" in t["cols_with_different_types"]
+
+
+def test_violations_sink_written_on_fail(tmp_path, spark):
+    """violations-base-path: a failing table writes its FULL violation set
+    (original cols + __row_id + __violated_tests) via df.write — the scale
+    replacement for the reference's collect-all log_verbosity==0."""
+    _write_land(tmp_path, "table1.csv",
+                ["5,ok", "-3,bad_low", "150,bad_high", "7,ok2"])
+    (tmp_path / "viol").mkdir()
+    cfg = _config(
+        tmp_path,
+        {"table1": {"expect-header": True,
+                    "metadata": _meta_file(tmp_path, META_T1)}},
+    )
+    cfg["violations-base-path"] = str(tmp_path / "viol")
+    res = run_validation(cfg, spark)
+    assert not res["all_tables_passed"]
+    rec = res["responses"][0]
+    assert "violations-path" in rec
+    out = spark.read.parquet(rec["violations-path"])
+    rows = sorted(out.collect(), key=lambda r: r["my_int"])
+    assert [r["my_int"] for r in rows] == [-3, 150]
+    assert all("__viol__my_int__min_max_test" in r["__violated_tests"]
+               for r in rows)
+
+
+def test_per_test_samples_not_starved(spark):
+    """Every failing test gets up to log_verbosity samples even when another
+    test's violations dominate early row order (the shared-cap starvation
+    bug)."""
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    # col a violates on the FIRST 500 rows; col b only on the LAST row
+    rows = [(-1 if i < 500 else 1, 1 if i < 999 else -1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "a", "type": "int64", "minimum": 0},
+            {"name": "b", "type": "int64", "minimum": 0},
+        ],
+    })
+    plan = ConstraintPlan(df, meta, log_verbosity=3)
+    res = plan.run().get_result()
+    assert len(res["a"]["min_max_test"]["unexpected_values_sample"]) == 3
+    # b has exactly one violation, far past any shared-cap prefix
+    assert res["b"]["min_max_test"]["unexpected_values_sample"] == ["-1"]
+
+
+def test_verbosity0_capped_and_violations_df_complete(spark):
+    """log_verbosity=0: driver samples are capped, but violations_df holds
+    the complete set."""
+    from data_linter_spark.compiler import (
+        VERBOSITY0_SAMPLE_CAP,
+        ConstraintPlan,
+    )
+    from data_linter_spark.metadata import Metadata
+
+    n_bad = VERBOSITY0_SAMPLE_CAP + 200
+    df = spark.range(n_bad).selectExpr("-1 - id AS a")
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "a", "type": "int64", "minimum": 0}],
+    })
+    plan = ConstraintPlan(df, meta, log_verbosity=0)
+    res = plan.run().get_result()
+    assert (len(res["a"]["min_max_test"]["unexpected_values_sample"])
+            == VERBOSITY0_SAMPLE_CAP)
+    assert plan.violations_df().count() == n_bad
+
+
+def test_violation_rows_token_array_equality_vs_pandas(spark):
+    """Per-row fidelity (input_hint invariant): the violating rows' token
+    ARRAYS from violations_df equal a pandas reference computation
+    element-for-element."""
+    import pandas as pd
+
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"doc-{i}" for i in range(200)],
+        "tokens": [
+            [i % 7, 40001 if i % 13 == 0 else 5, i]  # %13 rows violate max
+            for i in range(200)
+        ],
+    })
+    meta = Metadata({
+        "name": "tokens", "file_format": "parquet",
+        "columns": [
+            {"name": "doc_id", "type": "string", "nullable": False},
+            {"name": "tokens", "type": "list<int64>",
+             "minimum": 0, "maximum": 40000},
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in ConstraintPlan(sdf, meta).violations_df().collect()
+    }
+    # pandas oracle: same rule evaluated eagerly
+    exp = {
+        row.doc_id: list(row.tokens)
+        for row in pdf.itertuples()
+        if min(row.tokens) < 0 or max(row.tokens) > 40000
+    }
+    assert got == exp and len(exp) > 0
