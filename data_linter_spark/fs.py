@@ -1,0 +1,139 @@
+"""Scheme-aware filesystem layer over Hadoop FileSystem.
+
+The reference's routing layer is S3-only boto calls: listing
+(reference data_linter/utils.py:153-177 local + s3 variants used at
+validation.py:154-157), the 4-way local/S3 copy matrix (utils.py:115-150),
+gzip-on-move (utils.py:28-59) and log upload (logging_functions.py:51-69).
+Here ONE implementation covers every URI scheme the classpath provides —
+``file://`` (and bare local paths), ``hdfs://``, and ``s3a://`` when
+``hadoop-aws`` is on the classpath (standard on EMR/production Spark
+distributions; this container ships only hadoop-client, so tests exercise
+``file://``). All byte movement happens JVM-side (Hadoop IOUtils /
+GZIPOutputStream streams) — nothing is shuttled through py4j per-chunk and
+nothing is buffered on the Python heap, so a multi-GB object copy is as
+cheap as the underlying filesystem allows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem via the session
+    JVM. One instance per SparkSession; per-call FileSystem resolution keeps
+    mixed-scheme configs (land on s3a://, logs on file://) working."""
+
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self.spark = spark or SparkSession.getActiveSession()
+        if self.spark is None:
+            raise RuntimeError("HadoopFS requires an active SparkSession")
+        self._jvm = self.spark.sparkContext._jvm
+        self._jsc = self.spark.sparkContext._jsc
+        self._conf = self._jsc.hadoopConfiguration()
+
+    # -- path plumbing -------------------------------------------------
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    # -- queries ---------------------------------------------------------
+    def exists(self, p: str) -> bool:
+        return self._fs(p).exists(self._path(p))
+
+    def size(self, p: str) -> int:
+        return self._fs(p).getFileStatus(self._path(p)).getLen()
+
+    def list_files(
+        self,
+        base: str,
+        ext: Optional[str] = None,
+        exclude_zero_byte: bool = True,
+    ) -> list[str]:
+        """Recursive file listing, skipping dotfiles and (optionally)
+        zero-byte objects — reference utils.py:153-177 semantics, any
+        scheme. Returned paths keep the base's scheme."""
+        fs = self._fs(base)
+        path = self._path(base)
+        if not fs.exists(path):
+            return []
+        out = []
+        it = fs.listFiles(path, True)  # recursive RemoteIterator
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            if name.startswith("."):
+                continue
+            if ext and not name.endswith(ext):
+                continue
+            if exclude_zero_byte and st.getLen() == 0:
+                continue
+            out.append(p.toString())
+        return sorted(out)
+
+    # -- mutation --------------------------------------------------------
+    def mkdirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._path(p))
+
+    def delete(self, p: str, recursive: bool = False) -> bool:
+        return self._fs(p).delete(self._path(p), recursive)
+
+    def copy(self, src: str, dst: str, compress: bool = False) -> None:
+        """Copy src -> dst across any scheme pair (the reference's 4-way
+        local/S3 matrix, utils.py:115-150), optionally gzip-compressing
+        (utils.py:28-59). Streams are JVM-side; IOUtils.copyBytes chunks
+        through a 64 KiB buffer with no Python involvement."""
+        src_fs, dst_fs = self._fs(src), self._fs(dst)
+        parent = self._path(dst).getParent()
+        if parent is not None:
+            dst_fs.mkdirs(parent)
+        in_stream = src_fs.open(self._path(src))
+        out_stream = dst_fs.create(self._path(dst), True)
+        try:
+            if compress and not src.endswith(".gz"):
+                gzip_out = self._jvm.java.util.zip.GZIPOutputStream(out_stream)
+                self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    in_stream, gzip_out, 65536, False
+                )
+                gzip_out.finish()
+                gzip_out.close()
+            else:
+                self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    in_stream, out_stream, 65536, False
+                )
+                out_stream.close()
+        finally:
+            in_stream.close()
+
+    def move(self, src: str, dst: str, compress: bool = False) -> None:
+        self.copy(src, dst, compress)
+        self.delete(src)
+
+    # -- small-text helpers (verdict logs, run logs) ---------------------
+    def write_text(self, p: str, text: str) -> None:
+        fs = self._fs(p)
+        parent = self._path(p).getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        out = fs.create(self._path(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, p: str) -> str:
+        fs = self._fs(p)
+        in_stream = fs.open(self._path(p))
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                in_stream, baos, 65536, False
+            )
+            return bytes(baos.toByteArray()).decode("utf-8")
+        finally:
+            in_stream.close()

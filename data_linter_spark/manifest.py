@@ -17,9 +17,11 @@ aggregation over all its partitions.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
+import urllib.parse
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,16 @@ from pyspark.sql import functions as F
 from data_linter_spark import __version__
 from data_linter_spark.compiler import TOTAL_ALIAS, ConstraintPlan
 from data_linter_spark.metadata import Metadata
+
+# manifest id for a NULL partition value. Rows with a null partition key must
+# still be validated and recorded; a raw str(None) would conflate them with a
+# string partition literally equal to 'None'.
+NULL_PARTITION_ID = "__NULL__"
+
+
+def partition_id_of(value) -> str:
+    """Typed partition value -> manifest partition_id string."""
+    return NULL_PARTITION_ID if value is None else str(value)
 
 
 class PartitionManifest:
@@ -39,8 +51,13 @@ class PartitionManifest:
         os.makedirs(path, exist_ok=True)
 
     def _rec_path(self, partition_id: str) -> str:
-        safe = str(partition_id).replace("/", "_").replace("=", "_")
-        return os.path.join(self.path, f"part-{safe}.json")
+        """Collision-free record filename: percent-encoding is injective and
+        the md5 suffix guards exotic filesystems — 'a/b', 'a_b' and 'a=b'
+        map to distinct files (a lossy replace() would clobber records)."""
+        pid = str(partition_id)
+        safe = urllib.parse.quote(pid, safe="")[:80]
+        digest = hashlib.md5(pid.encode()).hexdigest()[:8]
+        return os.path.join(self.path, f"part-{safe}-{digest}.json")
 
     def done_partitions(self) -> set[str]:
         done = set()
@@ -119,20 +136,31 @@ def validate_partitioned(
     """Validate ``df`` per distinct ``partition_col`` value with checkpoint/
     resume. Returns a summary; per-partition verdicts land in the manifest.
 
-    Resume: partitions already 'pass'/'fail' in the manifest are skipped —
-    the filter reaches the scan (partition pruning on a partitioned layout).
+    Resume: partitions already 'pass'/'fail' in the manifest are skipped.
+    The batch filter uses TYPED literals (``isin`` over the collected typed
+    values, plus an explicit ``isNull`` branch for a null partition), so on
+    a ``partitionBy(partition_col)`` parquet layout — or an Iceberg
+    identity-partitioned table, where the same predicate prunes through
+    DataSourceV2 — the scan reads ONLY the batch's partitions
+    (``explain()`` shows PartitionFilters; test_manifest asserts it). A
+    string-cast filter would defeat pruning on typed partition columns.
     """
-    plan = ConstraintPlan(df, metadata)
-    all_parts = [
-        str(r[0])
-        for r in df.select(partition_col).distinct().collect()
-    ]
+    all_values = [r[0] for r in df.select(partition_col).distinct().collect()]
     done = manifest.done_partitions()
-    todo = sorted(p for p in all_parts if p not in done)
+    todo = sorted(
+        (v for v in all_values if partition_id_of(v) not in done),
+        key=partition_id_of,
+    )
 
     n_validated = 0
     for batch in _chunks(todo, batch_size):
-        sub = df.filter(F.col(partition_col).cast("string").isin(batch))
+        non_null = [v for v in batch if v is not None]
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in batch):
+            cond = cond | F.col(partition_col).isNull()
+        sub = df.filter(cond)
         bplan = ConstraintPlan(sub, metadata)
         if salted:
             verdicts = bplan.salted_grouped_verdict_df(
@@ -142,7 +170,7 @@ def validate_partitioned(
             verdicts = bplan.grouped_verdict_df([partition_col])
         for row in verdicts.collect():
             d = row.asDict()
-            pid = str(d.pop(partition_col))
+            pid = partition_id_of(d.pop(partition_col))
             total = d.pop(TOTAL_ALIAS)
             counters = {k: int(v or 0) for k, v in d.items()}
             valid = all(v == 0 for v in counters.values())
@@ -156,7 +184,7 @@ def validate_partitioned(
 
     recs = manifest.records()
     return {
-        "partitions_total": len(all_parts),
+        "partitions_total": len(all_values),
         "partitions_skipped_resume": len(done),
         "partitions_validated": n_validated,
         "all_passed": all(r["status"] == "pass" for r in recs),

@@ -27,8 +27,16 @@ from typing import Optional, Union
 from pyspark.sql import SparkSession
 
 from data_linter_spark.config import load_and_validate_config
+from data_linter_spark.fs import HadoopFS
 from data_linter_spark.metadata import Metadata
 from data_linter_spark.validator import SparkSchemaValidator, SparkValidator
+
+
+def _is_uri(path: str) -> bool:
+    """Scheme'd paths (file://, s3a://, hdfs://...) route through HadoopFS;
+    bare paths stay on the fast local os/shutil implementations. Hadoop
+    normalizes 'file:///x' to 'file:/x', so match any 'scheme:/' prefix."""
+    return re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/", path) is not None
 
 GET_VALIDATOR = {
     "pandas": SparkValidator,  # reference engine name, kept as alias
@@ -56,12 +64,25 @@ def get_filepaths_from_local_folder(
     return sorted(out)
 
 
-def match_files_in_land_to_config(config: dict) -> dict:
+def match_files_in_land_to_config(
+    config: dict, fs: Optional[HadoopFS] = None
+) -> dict:
     """File -> table matching: regex ``pattern`` or table-name prefix;
     errors on required-but-missing, double-match, unknown files
-    (reference validation.py:147-209)."""
+    (reference validation.py:147-209). A scheme'd land-base-path (s3a://,
+    file://, hdfs://) lists through HadoopFS — the analogue of the
+    reference's get_filepaths_from_s3_folder (utils.py used at
+    validation.py:154-157)."""
     land_base_path = config["land-base-path"]
-    land_files = get_filepaths_from_local_folder(land_base_path)
+    if _is_uri(land_base_path):
+        fs = fs or HadoopFS()
+        # Hadoop normalizes 'file:///x' -> 'file:/x'; match prefixes against
+        # the normalized base so rel() stays correct
+        land_base_path = fs._path(land_base_path).toString()
+        config["land-base-path"] = land_base_path
+        land_files = fs.list_files(land_base_path)
+    else:
+        land_files = get_filepaths_from_local_folder(land_base_path)
 
     if not land_files and config.get("fail-no-files", False):
         raise FileNotFoundError(f"No files found in the path: {land_base_path}")
@@ -182,7 +203,15 @@ def get_table_log_path(
     )
 
 
-def _move_file(src: str, dst: str, compress: bool) -> None:
+def _move_file(
+    src: str, dst: str, compress: bool, fs: Optional[HadoopFS] = None
+) -> None:
+    """Copy (optionally gzip) src -> dst. Any scheme'd endpoint routes the
+    WHOLE copy through HadoopFS (covers the reference's 4-way local/S3
+    matrix, utils.py:115-150, for every scheme pair the classpath knows)."""
+    if _is_uri(src) or _is_uri(dst):
+        (fs or HadoopFS()).copy(src, dst, compress)
+        return
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     if compress and not src.endswith(".gz"):
         with open(src, "rb") as fin, gzip.open(dst, "wb") as fout:
@@ -214,6 +243,13 @@ def collect_all_status(
     there_was_a_fail = False
     route_all_to_fail = (not all_tables_passed) and all_must_pass
 
+    any_uri = any(
+        _is_uri(p)
+        for p in [pass_base_path, fail_base_path or "", log_base_path]
+        + [r["original-path"] for r in all_table_responses]
+    )
+    fs = HadoopFS() if any_uri else None
+
     for i, resp in enumerate(all_table_responses):
         table_name = resp["table-name"]
         matched_file = resp["original-path"]
@@ -224,28 +260,34 @@ def collect_all_status(
                 fail_base_path, table_name, utc_ts, base, compress, i,
                 ts_partition,
             )
-            _move_file(matched_file, out, compress)
+            _move_file(matched_file, out, compress, fs)
         elif resp["valid"]:
             out = get_out_path(
                 pass_base_path, table_name, utc_ts, base, compress, i,
                 ts_partition,
             )
-            _move_file(matched_file, out, compress)
+            _move_file(matched_file, out, compress, fs)
             if remove_on_pass:
-                os.remove(matched_file)
+                if _is_uri(matched_file):
+                    fs.delete(matched_file)
+                else:
+                    os.remove(matched_file)
         else:
             there_was_a_fail = True
             out = get_out_path(
                 fail_base_path, table_name, utc_ts, base, compress, i,
                 ts_partition,
             )
-            _move_file(matched_file, out, compress)
+            _move_file(matched_file, out, compress, fs)
         resp["archived-path"] = out
 
         log_out = get_table_log_path(log_base_path, table_name, utc_ts, i)
-        os.makedirs(os.path.dirname(log_out), exist_ok=True)
-        with open(log_out, "w") as f:
-            json.dump(resp, f)
+        if _is_uri(log_out):
+            fs.write_text(log_out, json.dumps(resp))
+        else:
+            os.makedirs(os.path.dirname(log_out), exist_ok=True)
+            with open(log_out, "w") as f:
+                json.dump(resp, f)
 
     if there_was_a_fail and all_must_pass:
         raise ValueError("Tables did not pass linter")

@@ -101,3 +101,73 @@ def test_manifest_to_df(spark, tmp_path):
     rows = {r["partition_id"]: r for r in df.collect()}
     assert rows["b"]["status"] == "fail"
     assert json.loads(rows["b"]["metrics"])["violations"] == {"x": 2}
+
+
+def test_null_partition_validated_and_recorded(spark, tmp_path):
+    """Rows with a NULL partition value must be validated and recorded under
+    the reserved NULL_PARTITION_ID — and not conflated with a string
+    partition literally equal to 'None'."""
+    from data_linter_spark.manifest import NULL_PARTITION_ID
+
+    rows = [("a", 5), (None, 999), (None, 3), ("None", 999)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    m = PartitionManifest(str(tmp_path / "mnull"))
+    summary = validate_partitioned(
+        spark, df, Metadata(META), "src", m, batch_size=10
+    )
+    recs = {r["partition_id"]: r for r in m.records()}
+    assert summary["partitions_total"] == 3
+    assert recs[NULL_PARTITION_ID]["metrics"]["rows"] == 2
+    assert recs[NULL_PARTITION_ID]["status"] == "fail"  # v=999 violates
+    assert recs["None"]["metrics"]["rows"] == 1
+    assert recs["None"]["status"] == "fail"
+    assert recs["a"]["status"] == "pass"
+    # resume: everything already done
+    again = validate_partitioned(
+        spark, df, Metadata(META), "src", m, batch_size=10
+    )
+    assert again["partitions_skipped_resume"] == 3
+    assert again["partitions_validated"] == 0
+
+
+def test_rec_path_collision_free(tmp_path):
+    m = PartitionManifest(str(tmp_path / "mcoll"))
+    paths = {m._rec_path(p) for p in ["a/b", "a_b", "a=b", "a b", "None"]}
+    assert len(paths) == 5
+    for pid in ["a/b", "a_b", "a=b"]:
+        m.record(pid, "pass", {"rows": 1})
+    assert {r["partition_id"] for r in m.records()} == {"a/b", "a_b", "a=b"}
+    assert m.done_partitions() == {"a/b", "a_b", "a=b"}
+
+
+def test_resume_filter_prunes_partitioned_scan(spark, tmp_path):
+    """On a partitionBy(partition_col) parquet layout (stand-in for an
+    Iceberg identity partition), the typed batch filter must reach the scan
+    as a PartitionFilter — i.e. resume reads only the remaining partitions,
+    not the whole table."""
+    data_path = str(tmp_path / "ptable")
+    _df(spark).write.partitionBy("src").mode("overwrite").parquet(data_path)
+    df = spark.read.parquet(data_path)
+
+    from pyspark.sql import functions as F
+
+    sub = df.filter(F.col("src").isin([3, 4]))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the typed literals appear inside the partition filter clause
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "src" in pf_line and "3" in pf_line
+    # the typed filter must appear WITHOUT a cast around the partition
+    # column: parquet's driver-side file pruning tolerates casts, but a
+    # DataSourceV2 catalog (Iceberg) can only push down plain predicates
+    assert "cast(" not in pf_line.lower()
+
+    # end-to-end: validate_partitioned over the partitioned layout still
+    # produces identical verdicts
+    m = PartitionManifest(str(tmp_path / "mprune"))
+    summary = validate_partitioned(
+        spark, df, Metadata(META), "src", m, batch_size=3
+    )
+    assert summary["partitions_total"] == 7
+    recs = {r["partition_id"]: r for r in m.records()}
+    assert recs["0"]["status"] == "fail" and recs["0"]["metrics"]["rows"] == 100

@@ -361,3 +361,70 @@ def test_violation_rows_token_array_equality_vs_pandas(spark):
         if min(row.tokens) < 0 or max(row.tokens) > 40000
     }
     assert got == exp and len(exp) > 0
+
+
+def test_run_validation_over_uri_scheme_paths(tmp_path, spark):
+    """End-to-end with file:// scheme'd config paths: listing, routing,
+    gzip-on-move and verdict logs all flow through HadoopFS — the same code
+    path an s3a:// deployment uses (reference runs this lifecycle against
+    S3, tests/test_end_to_end_run.py:82-118)."""
+    _write_land(tmp_path, "table1.csv", ["5,ok", "7,also ok"])
+    _write_land(tmp_path, "table2.csv", ["500,out of range"])
+    meta2 = dict(META_T1, name="table2")
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir(exist_ok=True)
+    cfg = {
+        "land-base-path": f"file://{tmp_path}/land",
+        "pass-base-path": f"file://{tmp_path}/pass",
+        "fail-base-path": f"file://{tmp_path}/fail",
+        "log-base-path": f"file://{tmp_path}/log",
+        "compress-data": True,
+        "remove-tables-on-pass": True,
+        "tables": {
+            "table1": {"expect-header": True,
+                       "metadata": _meta_file(tmp_path, META_T1)},
+            "table2": {"expect-header": True,
+                       "metadata": _meta_file(tmp_path, meta2, "table2")},
+        },
+    }
+    res = run_validation(cfg, spark)
+    assert not res["all_tables_passed"]
+    by_table = {r["table-name"]: r for r in res["responses"]}
+    assert by_table["table1"]["valid"] is True
+    assert by_table["table2"]["valid"] is False
+    # pass file gzip'd into pass path, original removed (remove-on-pass)
+    import gzip as gz
+    import glob
+    passed = glob.glob(str(tmp_path / "pass" / "table1" / "*.csv.gz"))
+    assert len(passed) == 1
+    with gz.open(passed[0], "rt") as f:
+        assert "my_int" in f.read()
+    assert not (tmp_path / "land" / "table1.csv").exists()
+    # fail file routed, original kept
+    assert glob.glob(str(tmp_path / "fail" / "table2" / "*.csv.gz"))
+    assert (tmp_path / "land" / "table2.csv").exists()
+    # verdict log written through the fs layer
+    import json as js
+    logs = glob.glob(str(tmp_path / "log" / "tables" / "table2" / "*.json"))
+    assert len(logs) == 1
+    rec = js.load(open(logs[0]))
+    assert rec["valid"] is False
+
+
+def test_hadoop_fs_roundtrip(tmp_path, spark):
+    from data_linter_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    base = f"file://{tmp_path}/fsx"
+    fs.write_text(f"{base}/a/hello.txt", "hi there")
+    assert fs.read_text(f"{base}/a/hello.txt") == "hi there"
+    fs.write_text(f"{base}/a/.hidden", "x")
+    fs.write_text(f"{base}/a/empty.txt", "")
+    assert [p.rsplit("/", 1)[1] for p in fs.list_files(base)] == ["hello.txt"]
+    fs.copy(f"{base}/a/hello.txt", f"{base}/b/hello.txt.gz", compress=True)
+    import gzip as gz
+    with gz.open(str(tmp_path / "fsx" / "b" / "hello.txt.gz"), "rt") as f:
+        assert f.read() == "hi there"
+    fs.move(f"{base}/a/hello.txt", f"{base}/c/hello.txt")
+    assert not fs.exists(f"{base}/a/hello.txt")
+    assert fs.exists(f"{base}/c/hello.txt")
