@@ -1,13 +1,20 @@
 """Run-configuration model: load, validate, normalize.
 
 Re-expresses the reference's config handling
-(reference data_linter/validation.py:64-144 + the JSON Schema at
-data_linter/schemas/config-schema.json) as programmatic checks — same keys,
-same dash/underscore aliasing, same expect-header fixup."""
+(reference data_linter/validation.py:64-144 + the 597-line JSON Schema at
+data_linter/schemas/config-schema.json, loaded via constants.py:4-6).
+Dash/underscore aliasing is normalized FIRST (validation.py:80-120), then
+the config is validated against CONFIG_SCHEMA with jsonschema — same
+constraint classes the reference's rejection tests exercise
+(tests/test_configs.py:10-24: required / enum / type), plus
+``additionalProperties: false`` so misspelled or unknown keys are rejected
+loudly instead of passing silently."""
 
 from __future__ import annotations
 
 from typing import Union
+
+import jsonschema
 
 try:
     import yaml
@@ -19,9 +26,11 @@ BASE_PARAMS = [
     "fail_base_path",
     "pass_base_path",
     "log_base_path",
+    "violations_base_path",
     "compress_data",
     "remove_tables_on_pass",
     "all_must_pass",
+    "fail_no_files",
     "fail_unknown_files",
     "timestamp_partition_name",
     "validator_engine",
@@ -37,10 +46,74 @@ TABLE_PARAMS = [
     "only_test_cols_in_metadata",
     "allow_missing_cols",
     "allow_unexpected_data",
+    "log_verbosity",
 ]
 
-REQUIRED_KEYS = ["land-base-path", "log-base-path", "tables"]
-VALID_ENGINES = {"pandas", "parquet", "spark", "spark-schema"}
+VALID_ENGINES = ["pandas", "parquet", "spark", "spark-schema"]
+
+# mirrors reference config-schema.json constraints (dash-form keys; the
+# underscore variants are handled by aliasing before validation)
+CONFIG_SCHEMA = {
+    "type": "object",
+    "required": ["land-base-path", "log-base-path", "tables"],
+    "additionalProperties": False,
+    "properties": {
+        "land-base-path": {"type": "string"},
+        "fail-base-path": {"type": "string"},
+        "pass-base-path": {"type": "string"},
+        "log-base-path": {"type": "string"},
+        "violations-base-path": {"type": "string"},
+        "compress-data": {"type": "boolean"},
+        "remove-tables-on-pass": {"type": "boolean"},
+        "all-must-pass": {"type": "boolean"},
+        "fail-no-files": {"type": "boolean"},
+        "fail-unknown-files": {
+            "type": "object",
+            "additionalProperties": False,
+            "properties": {
+                "exceptions": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                }
+            },
+        },
+        "timestamp-partition-name": {"type": "string"},
+        "validator-engine": {"enum": VALID_ENGINES},
+        "validator-engine-params": {"type": "object"},
+        "iam-role-name": {"type": "string"},
+        "run-parallel": {"type": "boolean"},
+        "tables": {
+            "type": "object",
+            "minProperties": 1,
+            "patternProperties": {
+                "^.*$": {
+                    "type": "object",
+                    "additionalProperties": False,
+                    "properties": {
+                        "required": {"type": "boolean"},
+                        "pattern": {"type": ["string", "null"]},
+                        "metadata": {"type": "string"},
+                        "row-limit": {"type": "integer"},
+                        "expect-header": {"type": "boolean"},
+                        "headers-ignore-case": {"type": "boolean"},
+                        "only-test-cols-in-metadata": {"type": "boolean"},
+                        "allow-missing-cols": {"type": "boolean"},
+                        "allow-unexpected-data": {"type": "boolean"},
+                        "pandas-kwargs": {"type": "object"},
+                        "log-verbosity": {"type": "integer"},
+                        "log_verbosity": {"type": "integer"},
+                        # injected by match_files_in_land_to_config when a
+                        # pre-matched config is re-validated
+                        "matched_files": {
+                            "type": "array",
+                            "items": {"type": "string"},
+                        },
+                    },
+                }
+            },
+        },
+    },
+}
 
 
 class ConfigError(ValueError):
@@ -54,43 +127,30 @@ def _replace_underscores(config: dict) -> dict:
             config[param.replace("_", "-")] = config.pop(param)
     for table_name in config.get("tables", {}):
         tp = config["tables"][table_name]
+        if not isinstance(tp, dict):
+            continue
         for param in TABLE_PARAMS:
-            if param in tp:
+            if param in tp and param != "log_verbosity":
                 tp[param.replace("_", "-")] = tp.pop(param)
     return config
 
 
 def validate_config(config: dict) -> dict:
-    """Structural validation (the reference uses jsonschema against
-    config-schema.json; same constraints expressed directly)."""
+    """Normalize + validate against CONFIG_SCHEMA. Raises ConfigError whose
+    message names the failed jsonschema validator (required / enum / type /
+    additionalProperties ...), mirroring the reference's ValidationError
+    surface (tests/test_configs.py matches on the validator name)."""
     if not isinstance(config, dict):
         raise ConfigError("config must be a dict")
     config = _replace_underscores(config)
-    for key in REQUIRED_KEYS:
-        if key not in config:
-            raise ConfigError(f"config missing required key: {key}")
-    if not isinstance(config["tables"], dict) or not config["tables"]:
-        raise ConfigError("config 'tables' must be a non-empty mapping")
-    engine = config.get("validator-engine", "spark")
-    if engine not in VALID_ENGINES:
-        raise ConfigError(f"unknown validator-engine: {engine}")
-    for flag in ("compress-data", "remove-tables-on-pass", "all-must-pass"):
-        if flag in config and not isinstance(config[flag], bool):
-            raise ConfigError(f"config '{flag}' must be a bool")
-    for table_name, tp in config["tables"].items():
-        if not isinstance(tp, dict):
-            raise ConfigError(f"table '{table_name}' params must be a mapping")
-        if "row-limit" in tp and not isinstance(tp["row-limit"], int):
-            raise ConfigError(f"table '{table_name}' row-limit must be an int")
-        for flag in (
-            "required",
-            "expect-header",
-            "headers-ignore-case",
-            "allow-missing-cols",
-            "allow-unexpected-data",
-        ):
-            if flag in tp and not isinstance(tp[flag], bool):
-                raise ConfigError(f"table '{table_name}' {flag} must be a bool")
+    try:
+        jsonschema.validate(config, CONFIG_SCHEMA)
+    except jsonschema.ValidationError as e:
+        path = "/".join(str(p) for p in e.absolute_path)
+        raise ConfigError(
+            f"config schema violation ({e.validator}) at '{path}': {e.message}"
+        ) from None
+    for tp in config["tables"].values():
         # expect-header fixup (reference validation.py:136-143)
         if (not tp.get("expect-header")) and tp.get("headers-ignore-case"):
             tp["expect-header"] = True

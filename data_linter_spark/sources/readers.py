@@ -43,6 +43,50 @@ _BOM_RE = re.compile(r"^(?:﻿|ï»¿)")
 _CASTABLE_CATEGORIES = {"integer", "float", "boolean", "list"}
 
 
+# no real string looks like this: with it as nullValue, the Spark CSV parser
+# itself nulls NOTHING; NA-token handling happens in an explicit projection
+_NO_NA_SENTINEL = "__spark_linter_no_na__"
+
+# pandas' default NA token set (pandas.io.parsers STR_NA_VALUES) — the
+# reference reads with pandas, so 'NA'/'null'/... become NaN unless
+# keep_default_na=False (exercised by reference
+# tests/test_end_to_end_run.py:484-505 + config_pass/config_fail.yaml)
+PANDAS_NA_TOKENS = [
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+]
+
+
+def _csv_options(pandas_kwargs: Optional[dict]) -> tuple[dict, list[str]]:
+    """Translate the reference's per-table ``pandas-kwargs`` into Spark CSV
+    reader options + the NA token list. Supported: ``na_values``,
+    ``keep_default_na``, ``sep``/``delimiter``, ``encoding``; anything else
+    is REJECTED LOUDLY rather than silently ignored.
+
+    NA semantics are reproduced exactly: the parser nulls nothing (sentinel
+    nullValue), then the reader applies one ``isin(tokens) -> null``
+    projection per column — whole-stage-codegen'd, supports any token set
+    (Spark's own nullValue option allows only one token)."""
+    pk = dict(pandas_kwargs or {})
+    opts: dict = {"nullValue": _NO_NA_SENTINEL}
+    tokens = list(PANDAS_NA_TOKENS) if pk.pop("keep_default_na", True) else []
+    na_values = pk.pop("na_values", None)
+    if na_values is not None:
+        if isinstance(na_values, str):
+            na_values = [na_values]
+        tokens += [str(v) for v in na_values]
+    sep = pk.pop("sep", None) or pk.pop("delimiter", None)
+    if sep is not None:
+        opts["sep"] = sep
+    encoding = pk.pop("encoding", None)
+    if encoding is not None:
+        opts["encoding"] = encoding
+    if pk:
+        raise ValueError(f"unsupported pandas-kwargs: {sorted(pk)}")
+    return opts, sorted(set(tokens))
+
+
 def read_file(
     spark: SparkSession,
     filepath: str,
@@ -58,9 +102,21 @@ def read_file(
     ]
     if filepath.lower().endswith("csv") or fmt == "csv":
         expect_header = table_params.get("expect-header", True)
-        df = spark.read.csv(filepath, header=expect_header, inferSchema=False)
+        opts, na_tokens = _csv_options(table_params.get("pandas-kwargs"))
+        df = spark.read.csv(
+            filepath, header=expect_header, inferSchema=False, **opts
+        )
         if not expect_header:
             df = df.toDF(*meta_col_names[: len(df.columns)])
+        if na_tokens:
+            df = df.select(
+                *[
+                    F.when(F.col(c).isin(na_tokens), F.lit(None))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in df.columns
+                ]
+            )
     elif fmt in ("jsonl", "json"):
         df = spark.read.json(filepath)
     elif fmt in ("parquet", "snappy.parquet"):

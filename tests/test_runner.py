@@ -428,3 +428,113 @@ def test_hadoop_fs_roundtrip(tmp_path, spark):
     fs.move(f"{base}/a/hello.txt", f"{base}/c/hello.txt")
     assert not fs.exists(f"{base}/a/hello.txt")
     assert fs.exists(f"{base}/c/hello.txt")
+
+
+def test_config_schema_rejections():
+    """Port of the reference's jsonschema rejection matrix
+    (tests/test_configs.py:10-24): required / enum / type, in both dash and
+    underscore spellings, plus unknown-key rejection (the reference schema
+    silently allowed unknown keys; here they fail loudly)."""
+    base = {"land-base-path": "l", "log-base-path": "g",
+            "tables": {"t1": {}}}
+    ok = validate_config(dict(base, tables={"t1": {}}))
+    assert ok["tables"]["t1"] == {}
+    # required
+    with pytest.raises(ConfigError, match="required"):
+        validate_config({"tables": {"t1": {}}})
+    # enum
+    with pytest.raises(ConfigError, match="enum"):
+        validate_config(dict(base, **{"validator-engine": "duckdb"}))
+    with pytest.raises(ConfigError, match="enum"):
+        validate_config(dict(base, validator_engine="duckdb"))
+    # type
+    with pytest.raises(ConfigError, match="type"):
+        validate_config(dict(base, **{"compress-data": "yes"}))
+    with pytest.raises(ConfigError, match="type"):
+        validate_config(dict(base, compress_data="yes"))
+    with pytest.raises(ConfigError, match="type"):
+        validate_config(
+            dict(base, tables={"t1": {"row-limit": "ten"}})
+        )
+    # unknown keys rejected loudly
+    with pytest.raises(ConfigError, match="additional"):
+        validate_config(dict(base, **{"lnd-base-path": "typo"}))
+    with pytest.raises(ConfigError, match="additional"):
+        validate_config(dict(base, tables={"t1": {"expect-haeder": True}}))
+    # tables must be non-empty
+    with pytest.raises(ConfigError, match="minProperties|non-empty"):
+        validate_config(dict(base, tables={}))
+
+
+def test_pandas_kwargs_na_handling(tmp_path, spark):
+    """Reference NA matrix (tests/test_end_to_end_run.py:484-505 +
+    config_pass/config_fail.yaml): literal 'NA' strings in an enum'd
+    non-nullable column FAIL under default pandas NA tokens, PASS with
+    keep_default_na=false + na_values=['']."""
+    meta = {
+        "name": "animals", "file_format": "csv",
+        "columns": [
+            {"name": "my_int", "type": "int64", "minimum": 10, "maximum": 20,
+             "nullable": False},
+            {"name": "animal", "type": "string", "nullable": False,
+             "enum": ["cat", "dog", "fish", "chicken", "NA"]},
+        ],
+    }
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "animals.csv").write_text(
+        "my_int,animal\n16,NA\n13,cat\n18,NA\n10,fish\n"
+    )
+    from data_linter_spark.validator import SparkValidator
+
+    # default pandas NA tokens: 'NA' -> null -> nullable_test fails
+    v = SparkValidator(str(land / "animals.csv"), {"expect-header": True},
+                       meta, spark=spark)
+    v.read_data_and_validate()
+    assert v.valid is False
+    assert v.response.get_result()["animal"]["nullable_test"]["valid"] is False
+
+    # reference config_pass kwargs: only '' is NA -> 'NA' stays a string
+    v2 = SparkValidator(
+        str(land / "animals.csv"),
+        {"expect-header": True,
+         "pandas-kwargs": {"keep_default_na": False, "na_values": [""]}},
+        meta, spark=spark)
+    v2.read_data_and_validate()
+    assert v2.valid is True
+
+    # unknown pandas-kwargs are rejected loudly (as a failing parse test)
+    v3 = SparkValidator(
+        str(land / "animals.csv"),
+        {"expect-header": True, "pandas-kwargs": {"chunksize": 5}},
+        meta, spark=spark)
+    v3.read_data_and_validate()
+    assert v3.valid is False
+    assert "unsupported pandas-kwargs" in str(
+        v3.response.get_result()["parse_data_to_pandas"]
+    )
+
+
+def test_get_names_of_column_failures(tmp_path, spark):
+    """reference base.py:60-85 semantics: overall failures, and restriction
+    to specific test names."""
+    from data_linter_spark.validator import SparkValidator
+
+    land = tmp_path / "land2"
+    land.mkdir()
+    (land / "t.csv").write_text("a,b,c\n-1,x,\n5,y,z\n")
+    meta = {
+        "name": "t", "file_format": "csv",
+        "columns": [
+            {"name": "a", "type": "int64", "minimum": 0},
+            {"name": "b", "type": "string", "enum": ["x", "y"]},
+            {"name": "c", "type": "string", "nullable": False},
+        ],
+    }
+    v = SparkValidator(str(land / "t.csv"), {"expect-header": True}, meta,
+                       spark=spark)
+    v.read_data_and_validate()
+    assert v.response.get_names_of_column_failures() == ["a", "c"]
+    assert v.response.get_names_of_column_failures(["min_max_test"]) == ["a"]
+    assert v.response.get_names_of_column_failures(["nullable_test"]) == ["c"]
+    assert v.response.get_names_of_column_failures(["enum_test"]) == []
