@@ -46,10 +46,16 @@ def tokens_throughput(spark, n_rows: int) -> tuple[float, float]:
     plan = ConstraintPlan(df, Metadata(tokens_metadata(strict=True)))
     aggs = [*plan.agg_exprs(), *uniqueness_screen_exprs("doc_id")]
     df.agg(*aggs).collect()  # warmup (JIT)
-    t0 = time.perf_counter()
-    df.agg(*aggs).collect()
-    dt = time.perf_counter() - t0
+    # min of 3 trials: the committed number is compared round-over-round, so
+    # it must not be a single sample off a noisy shared host (VERDICT r1 §6)
+    dt = min(_timed(lambda: df.agg(*aggs).collect()) for _ in range(3))
     return dt, n_rows / dt
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
 
 
 def main() -> None:

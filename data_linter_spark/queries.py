@@ -528,6 +528,66 @@ FROM ranked WHERE rk <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# 9b. similarity search, scale path: LSH-bucketed cosine top-k. The oracle
+#     recomputes the SAME deterministic random-hyperplane signature in SQL
+#     (identical plane constants, identical bit packing), so the candidate
+#     sets — not just the scores — are verified bit-for-bit. This is the
+#     query that proves the pruned plan returns what it claims.
+# ---------------------------------------------------------------------------
+
+ANN_LSH_DIM = 64
+ANN_LSH_PLANES = 8
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return cosine_topk_lsh(
+        queries, emb, "q_emb", "embedding", "query_id", "vec_id",
+        dim=ANN_LSH_DIM, k=ANN_K, n_planes=ANN_LSH_PLANES,
+    )
+
+
+def _sql_ann_lsh() -> str:
+    from data_linter_spark.functions.similarity import _planes
+
+    planes = _planes(ANN_LSH_DIM, ANN_LSH_PLANES)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {bit_terms} AS bucket FROM sig
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE q.vec_id < {ANN_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
+       ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 10. token-id histogram sketch over the tokens table (Arrow mapInPandas
 #     partial bincounts; oracle = plain unnest+groupBy SQL)
 # ---------------------------------------------------------------------------
@@ -609,9 +669,12 @@ GROUP BY 1
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_linter_spark.queries_dedup import DEDUP_QUERIES
+    from data_linter_spark.queries_io import IO_QUERIES
 
     return {
         **DEDUP_QUERIES,
+        **IO_QUERIES,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
         "suite_dates": q_suite_dates,
@@ -632,9 +695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_linter_spark.queries_dedup import DEDUP_ORACLES
+    from data_linter_spark.queries_io import IO_ORACLES
 
     return {
         **DEDUP_ORACLES,
+        **IO_ORACLES,
+        "ann_cosine_topk_lsh": _sql_ann_lsh(),
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
         "suite_dates": SQL_SUITE_DATES,

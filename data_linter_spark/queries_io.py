@@ -1,0 +1,154 @@
+"""Oracle-checked queries for the CSV / JSONL source paths.
+
+Round 1 verified the non-parquet readers by pytest only (VERDICT.md caveat:
+"the CSV/JSONL readers ... have no entry in queries()"). These queries close
+that gap: each one deterministically materializes a file from a driver
+parquet table, reads it back through the ENGINE's reader stack
+(``read_file`` + ``parse_data_to_spark``: header handling, NA-token
+projection, alignment, cast-to-schema — reference
+data_linter/validators/pandas_validator.py:404-483), and returns the aligned
+rows. The DuckDB oracle reads the ORIGINAL parquet view and applies the same
+semantics in SQL, so any lossiness or mis-cast in the round trip breaks the
+value hash.
+
+The materialized files live under /tmp keyed by the sf dir; they are inputs
+derived deterministically from the driver's tables (TESTDATA.md), not
+synthesized data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.sources.readers import parse_data_to_spark, read_file
+
+
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    key = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/spark_graft_roundtrip/{key}/{kind}"
+
+
+def _ensure(path: str, write_fn) -> None:
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_fn(path)
+
+
+# ---------------------------------------------------------------------------
+# CSV: header read, pandas-default NA tokens -> null, string -> typed casts
+# ---------------------------------------------------------------------------
+
+CSV_META = {
+    "name": "lineitem_csv",
+    "file_format": "csv",
+    "columns": [
+        {"name": "l_orderkey", "type": "int64", "type_category": "integer",
+         "nullable": False},
+        {"name": "l_linenumber", "type": "int32", "type_category": "integer"},
+        {"name": "l_quantity", "type": "float64", "type_category": "float"},
+        {"name": "l_returnflag", "type": "string"},
+        {"name": "na_col", "type": "string"},
+    ],
+}
+
+
+def q_read_csv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> CSV on disk -> engine CSV reader (header=True, default
+    pandas NA tokens) -> cast-to-schema -> aligned rows.
+
+    ``na_col`` plants the literal token 'NA' on rows where
+    l_orderkey % 7 == 0; the reader must null it (pandas STR_NA_VALUES
+    semantics, reference tests/test_end_to_end_run.py:484-505)."""
+    path = _roundtrip_dir(sf_dir, "lineitem_csv")
+
+    def write(p: str) -> None:
+        src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = src.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            F.when(F.col("l_orderkey") % 7 == 0, F.lit("NA"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("na_col"),
+        )
+        out.coalesce(4).write.mode("overwrite").csv(p, header=True)
+
+    _ensure(path, write)
+    meta = Metadata(CSV_META)
+    df = read_file(spark, path, {"expect-header": True}, meta)
+    aligned, meta, _ = parse_data_to_spark(
+        spark, path, {"expect-header": True}, meta, df=df
+    )
+    return aligned.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "na_col"
+    )
+
+
+SQL_READ_CSV_LINEITEM = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS INTEGER) AS l_linenumber,
+       l_quantity,
+       l_returnflag,
+       CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_linestatus END AS na_col
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL: schema-on-read alignment (no casts needed; types survive JSON)
+# ---------------------------------------------------------------------------
+
+JSONL_META = {
+    "name": "documents_jsonl",
+    "file_format": "jsonl",
+    "columns": [
+        {"name": "doc_id", "type": "int64", "type_category": "integer",
+         "nullable": False},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "source", "type": "string"},
+        {"name": "n_chars", "type": "int64", "type_category": "integer"},
+    ],
+}
+
+
+def q_read_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSONL on disk -> engine JSONL reader -> alignment
+    (with an extra unexpected column dropped via the allow-unexpected-data
+    mitigation, reference pandas_validator.py:447-472). JSON round-trips
+    unicode text losslessly, so the value hash vs the parquet oracle proves
+    the reader is byte-faithful."""
+    path = _roundtrip_dir(sf_dir, "documents_jsonl")
+
+    def write(p: str) -> None:
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src.withColumn("extra_col", F.lit("surplus")).coalesce(4).write.mode(
+            "overwrite"
+        ).json(p)
+
+    _ensure(path, write)
+    meta = Metadata(JSONL_META)
+    params = {"allow-unexpected-data": True}
+    df = read_file(spark, path, params, meta)
+    aligned, meta, _ = parse_data_to_spark(spark, path, params, meta, df=df)
+    return aligned.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_READ_JSONL_DOCUMENTS = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+IO_QUERIES = {
+    "read_csv_lineitem": q_read_csv_lineitem,
+    "read_jsonl_documents": q_read_jsonl_documents,
+}
+
+IO_ORACLES = {
+    "read_csv_lineitem": SQL_READ_CSV_LINEITEM,
+    "read_jsonl_documents": SQL_READ_JSONL_DOCUMENTS,
+}

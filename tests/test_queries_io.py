@@ -1,0 +1,39 @@
+"""CSV/JSONL round-trip queries (queries_io): the engine's reader stack must
+reproduce the parquet source exactly — NA tokens nulled, casts applied,
+unexpected columns dropped. Full value-level parity vs DuckDB runs in
+tools/oracle_check.py and the driver gate; these tests pin the semantics
+that the hash alone would not explain if it broke."""
+
+import os
+
+from data_linter_spark.queries_io import (
+    q_read_csv_lineitem,
+    q_read_jsonl_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_na_and_casts(spark):
+    df = q_read_csv_lineitem(spark, SF)
+    types = dict(df.dtypes)
+    assert types["l_orderkey"] == "bigint"
+    assert types["l_linenumber"] == "int"
+    assert types["l_quantity"] == "double"
+    # the planted 'NA' token must be nulled by the reader (pandas
+    # STR_NA_VALUES semantics), and only on the planted rows
+    planted = df.filter("l_orderkey % 7 = 0")
+    assert planted.count() > 0
+    assert planted.filter("na_col IS NOT NULL").count() == 0
+    assert df.filter("l_orderkey % 7 != 0 AND na_col IS NULL").count() == 0
+
+
+def test_jsonl_roundtrip_text_faithful(spark):
+    out = q_read_jsonl_documents(spark, SF)
+    src = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    assert out.count() == src.count()
+    # byte-faithful text: anti-join on every column is empty both ways
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert out.select(cols).exceptAll(src.select(cols)).count() == 0
+    # the surplus column written to the JSONL was dropped by alignment
+    assert "extra_col" not in out.columns
