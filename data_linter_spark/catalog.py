@@ -1,0 +1,136 @@
+"""Iceberg-first table layer with a partitioned-parquet fallback.
+
+The north_star input is "an Iceberg table of pre-tokenized training
+sequences" (BASELINE.json). Iceberg support in Spark is a RUNTIME JAR
+(`iceberg-spark-runtime-<spark>_<scala>`), not a pip package — this sandbox
+container ships pyspark without it and has no network, so the engine treats
+Iceberg as a capability to PROBE, not assume:
+
+- ``iceberg_jar()``: locate the runtime jar (``SPARK_GRAFT_ICEBERG_JAR`` env,
+  then pyspark's own jars dir). Returns None when absent.
+- ``get_iceberg_spark()``: a session wired with the Iceberg SQL extensions
+  and a LOCAL hadoop catalog (``type=hadoop, warehouse=<dir>``) — the
+  single-node stand-in for the production Glue/Hive catalog. Raises
+  ``IcebergUnavailable`` when the jar is missing.
+- ``TokensTable``: write/read the canonical tokens table partitioned by
+  ``source``. Uses Iceberg when available, else ``partitionBy("source")``
+  parquet — BOTH layouts prune on the typed partition predicates that
+  ``validate_partitioned`` (manifest.py) issues, which is the property the
+  resume path actually needs (tests/test_manifest.py asserts
+  PartitionFilters in the physical plan).
+
+Everything downstream (ConstraintPlan, manifest resume, drift checks)
+consumes a plain DataFrame, so the two layouts are interchangeable: on a
+real cluster, point ``TokensTable`` at the Iceberg catalog and the identity
+partition transform on ``source`` gives the same pruned scans through
+DataSourceV2.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergUnavailable(RuntimeError):
+    """The Iceberg Spark runtime jar is not on this installation."""
+
+
+def iceberg_jar() -> str | None:
+    env = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    try:
+        import pyspark
+
+        hits = glob.glob(
+            os.path.join(
+                os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar"
+            )
+        )
+        return hits[0] if hits else None
+    except ImportError:  # pragma: no cover
+        return None
+
+
+def iceberg_available() -> bool:
+    return iceberg_jar() is not None
+
+
+def get_iceberg_spark(
+    warehouse: str,
+    catalog: str = "local",
+    app_name: str = "data_linter_spark_iceberg",
+    master: str | None = None,
+) -> SparkSession:
+    """SparkSession with the Iceberg extensions and a local hadoop catalog.
+    Production swaps ``type=hadoop`` for the org's metastore; nothing else
+    in the engine changes."""
+    jar = iceberg_jar()
+    if jar is None:
+        raise IcebergUnavailable(
+            "iceberg-spark-runtime jar not found; set SPARK_GRAFT_ICEBERG_JAR "
+            "or use the partitioned-parquet fallback (TokensTable)"
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.jars", jar)
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config(
+            f"spark.sql.catalog.{catalog}",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        .config(f"spark.sql.catalog.{catalog}.type", "hadoop")
+        .config(f"spark.sql.catalog.{catalog}.warehouse", warehouse)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
+
+
+class TokensTable:
+    """The canonical partitioned tokens table, Iceberg when the runtime is
+    present, ``partitionBy(partition_col)`` parquet otherwise.
+
+    ``location`` is an Iceberg table identifier (``catalog.db.table``) when
+    ``use_iceberg``, else a filesystem/``s3a://`` directory."""
+
+    def __init__(
+        self,
+        location: str,
+        partition_col: str = "source",
+        use_iceberg: bool | None = None,
+    ):
+        self.location = location
+        self.partition_col = partition_col
+        self.use_iceberg = (
+            iceberg_available() if use_iceberg is None else use_iceberg
+        )
+        if self.use_iceberg and not iceberg_available():
+            raise IcebergUnavailable("requested Iceberg but no runtime jar")
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        if self.use_iceberg:
+            writer = df.writeTo(self.location).partitionedBy(
+                df[self.partition_col]
+            )
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+        else:
+            df.write.partitionBy(self.partition_col).mode(mode).parquet(
+                self.location
+            )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.use_iceberg:
+            return spark.read.table(self.location)
+        return spark.read.parquet(self.location)

@@ -1,0 +1,39 @@
+"""TokensTable layer: Iceberg when the runtime jar exists, partitioned
+parquet otherwise — both must give validate_partitioned a PRUNED scan."""
+
+import pytest
+
+from data_linter_spark.catalog import (
+    IcebergUnavailable,
+    TokensTable,
+    get_iceberg_spark,
+    iceberg_available,
+)
+from data_linter_spark.tokens import synthetic_tokens
+
+
+def test_parquet_fallback_roundtrip_and_pruning(spark, tmp_path):
+    t = TokensTable(str(tmp_path / "tokens"), use_iceberg=False)
+    df = synthetic_tokens(spark, 2000, n_partitions=4)
+    t.write(df)
+    back = t.read(spark)
+    assert back.count() == 2000
+    assert set(back.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    # the typed predicate the manifest resume issues must reach the scan as
+    # a partition filter, not a post-scan filter
+    plan_df = back.filter(back.source == "common_crawl")
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "source" in pf
+
+
+def test_iceberg_gated(tmp_path):
+    if iceberg_available():  # pragma: no cover - jar absent in sandbox
+        s = get_iceberg_spark(str(tmp_path / "wh"))
+        assert s is not None
+    else:
+        with pytest.raises(IcebergUnavailable):
+            get_iceberg_spark(str(tmp_path / "wh"))
+        with pytest.raises(IcebergUnavailable):
+            TokensTable("local.db.tokens", use_iceberg=True)
