@@ -42,3 +42,43 @@ def upload_log(log: logging.Logger, buf: io.StringIO, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(buf.getvalue())
+
+
+PHASE_ORDER = ("init", "val", "status")
+
+
+def get_temp_log_basepath(config: dict) -> str:
+    return os.path.join(
+        config["log-base-path"], "data_linter_temporary_fs", "logs"
+    )
+
+
+def phase_log_path(config: dict, phase: str, worker_id: str | int = 0) -> str:
+    if phase not in PHASE_ORDER:
+        raise ValueError(f"unknown phase {phase!r}; expected {PHASE_ORDER}")
+    return os.path.join(
+        get_temp_log_basepath(config), phase, f"log-{worker_id}.log"
+    )
+
+
+def collect_all_logs(config: dict, ts: int = 0, spark=None) -> str:
+    """Concatenate every phase log (init, then val, then status — the
+    reference's collation order, validation.py:738-775) into the final run
+    log at ``log-base-path``, then delete the temporary log fs. Scheme-aware
+    via HadoopFS: phase logs written to ``s3a://`` by cluster workers
+    collate the same as local ones. Returns the final log path."""
+    from data_linter_spark.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    base = get_temp_log_basepath(config)
+    pieces = []
+    for phase in PHASE_ORDER:
+        for p in fs.list_files(os.path.join(base, phase), ext=".log"):
+            pieces.append(fs.read_text(p))
+    final = get_main_log_path_from_config(config, ts)
+    fs.write_text(final, "".join(pieces))
+    fs.delete(
+        os.path.join(config["log-base-path"], "data_linter_temporary_fs"),
+        recursive=True,
+    )
+    return final

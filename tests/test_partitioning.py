@@ -43,3 +43,36 @@ def test_logging_functions(tmp_path):
     content = open(path).read()
     assert "hello world" in content and "VALIDATION" in content
     assert "plain" in content and str(tmp_path) not in content
+
+
+def test_collect_all_logs_concats_phases_in_order(tmp_path, spark):
+    from data_linter_spark.logging_functions import (
+        collect_all_logs,
+        phase_log_path,
+    )
+
+    config = {"log-base-path": str(tmp_path / "logs")}
+    # write phase logs out of order, two val workers
+    for phase, wid, text in [
+        ("status", 0, "S0\n"),
+        ("val", 1, "V1\n"),
+        ("init", 0, "I0\n"),
+        ("val", 0, "V0\n"),
+    ]:
+        p = phase_log_path(config, phase, wid)
+        import os
+
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(text)
+    final = collect_all_logs(config, ts=7, spark=spark)
+    content = open(final).read()
+    # init < val < status; workers within a phase sorted
+    assert content == "I0\nV0\nV1\nS0\n"
+    assert final.endswith("data_linter_run_7.log")
+    # temp fs removed (reference validation.py:773-775)
+    import os
+
+    assert not os.path.exists(
+        os.path.join(config["log-base-path"], "data_linter_temporary_fs")
+    )
