@@ -28,6 +28,8 @@ Exact-Jaccard / exact-cosine verify touches only candidate pairs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,14 +209,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.8,
+    max_shingle_df: Optional[int] = 256,
 ) -> DataFrame:
     """Direct near-dup detection: candidates = pairs sharing ANY shingle
-    (shingle-join), verified with exact Jaccard. Quadratic only within
-    shingle buckets — for corpora with hot shingles prefer
-    minhash_near_dups."""
+    (shingle-join), verified with exact Jaccard.
+
+    The shingle self-join is quadratic WITHIN a shingle's posting list, so a
+    hot shingle (boilerplate n-gram shared by millions of docs) is a
+    reducer-killing key at web scale. ``max_shingle_df`` bounds that:
+    shingles whose document frequency exceeds it are excluded from CANDIDATE
+    GENERATION (broadcast anti-join against the small hot-shingle set),
+    capping per-shingle fan-out at max_shingle_df^2 — worst-case work
+    becomes linear in the shingle count. Exact Jaccard verification still
+    uses the FULL shingle sets, so scores are unaffected; only pairs whose
+    every shared shingle is hot are missed, which at ``min_jaccard >= 0.8``
+    means near-identical boilerplate documents — exactly what
+    minhash_near_dups (the primary scale path) still catches. ``None``
+    disables the cap (oracle-verification mode)."""
     sh = word_shingles(df, id_col, text_col, n)
-    left = sh.select(F.col("id").alias("id_a"), "shingle")
-    right = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand_sh = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    left = cand_sh.select(F.col("id").alias("id_a"), "shingle")
+    right = cand_sh.select(F.col("id").alias("id_b"), "shingle")
     cands = (
         left.join(right, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))

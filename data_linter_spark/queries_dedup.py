@@ -134,9 +134,17 @@ SQL_DEDUP_MINHASH = _sql_minhash()
 # ---------------------------------------------------------------------------
 
 
+# hot-shingle document-frequency cap: shingles shared by more than this many
+# docs are excluded from CANDIDATE GENERATION (not from Jaccard scoring) —
+# the boilerplate-n-gram guard that keeps the self-join linear at web scale.
+# The oracle applies the IDENTICAL cap, so parity verifies the capped plan.
+NGRAM_MAX_SHINGLE_DF = 256
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dd.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), "doc_id", "text", min_jaccard=MIN_JACCARD
+        _corpus(spark, sf_dir), "doc_id", "text", min_jaccard=MIN_JACCARD,
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -144,9 +152,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_NGRAM = f"""
 WITH {SQL_CORPUS_CTE.strip()},
 {SQL_SHINGLES_CTE.strip()},
+cand_shingles AS (
+  SELECT s.* FROM shingles s
+  WHERE s.shingle NOT IN (
+    SELECT shingle FROM shingles
+    GROUP BY shingle HAVING count(*) > {NGRAM_MAX_SHINGLE_DF}
+  )
+),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM shingles a JOIN shingles b
+  FROM cand_shingles a JOIN cand_shingles b
     ON a.shingle = b.shingle AND a.id < b.id
 ),
 sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY id),

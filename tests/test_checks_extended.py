@@ -306,3 +306,31 @@ def test_lsh_topk_recall_measured_on_real_embeddings(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     print(f"\nLSH topk recall@10 (n_planes=4): {recall:.3f}")
     assert recall >= 0.3  # 4-plane/16-bucket pruning on near-uniform vectors
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    """max_shingle_df excludes boilerplate shingles from candidate
+    generation (the web-scale hot-key guard) while leaving exact Jaccard
+    scores computed over FULL shingle sets."""
+    from data_linter_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all"
+    rows = (
+        # 6 docs that share ONLY the boilerplate shingle run
+        [(i, f"{boiler} page {i} unique tail {i}") for i in range(6)]
+        # plus a genuine near-dup pair with distinctive overlap
+        + [(100, "alpha beta gamma delta epsilon zeta"),
+           (101, "alpha beta gamma delta epsilon eta")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap at 3: the boilerplate shingles (df=6) drop out of candidates
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.5, max_shingle_df=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    # uncapped, the boilerplate family also pairs up (lower jaccard, but
+    # candidates exist) — proving the cap is what pruned them
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.0, max_shingle_df=None
+    ).collect()
+    assert len(uncapped) > 1
