@@ -670,10 +670,12 @@ GROUP BY 1
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_linter_spark.queries_dedup import DEDUP_QUERIES
     from data_linter_spark.queries_io import IO_QUERIES
+    from data_linter_spark.queries_media import MEDIA_QUERIES
 
     return {
         **DEDUP_QUERIES,
         **IO_QUERIES,
+        **MEDIA_QUERIES,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
@@ -696,10 +698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from data_linter_spark.queries_dedup import DEDUP_ORACLES
     from data_linter_spark.queries_io import IO_ORACLES
+    from data_linter_spark.queries_media import MEDIA_ORACLES
 
     return {
         **DEDUP_ORACLES,
         **IO_ORACLES,
+        **MEDIA_ORACLES,
         "ann_cosine_topk_lsh": _sql_ann_lsh(),
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,

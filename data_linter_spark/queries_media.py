@@ -1,0 +1,147 @@
+"""Oracle-checked queries for the multimodal plumbing.
+
+The media table is derived DETERMINISTICALLY from ``documents`` (payload =
+utf-8 text bytes, mime round-robin by doc_id, duration from n_chars), so
+DuckDB can rebuild it in a CTE and verify:
+
+- ``media_suite``: the standard constraint suite over a table with a
+  ``binary`` payload column — byte-length bounds via ``F.length`` on
+  binary, mime enum, dimension bounds (VERDICT r1 listed multimodal as the
+  one family with no CORRECTNESS row).
+- ``media_frame_sample``: the video frame-sampling fan-out
+  (``frame_sample_plan``) — the explode shape AND the per-frame payload are
+  verified value-for-value (the fake frame bytes are
+  ``FRAME:<ms>:<sha256-hex>``, which SQL reproduces exactly).
+
+The DECODE step stays a stub (no codecs in this container; see
+functions/multimodal.py) — what these queries prove is the Spark-side
+plumbing: schema, fan-out, binary handling, deterministic bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+
+MIMES = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+FRAME_EVERY_MS = 700
+
+MEDIA_SQL_CTE = f"""media AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(text AS BLOB) AS payload,
+         (ARRAY[{", ".join(repr(m) for m in MIMES)}])[(doc_id % 4) + 1] AS mime,
+         CAST((n_chars % 2000) + 1 AS INTEGER) AS width,
+         CAST((n_chars % 1500) + 1 AS INTEGER) AS height,
+         CAST((n_chars * 17) % 3000 AS INTEGER) AS duration_ms
+  FROM documents
+)"""
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in MIMES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        mime.alias("mime"),
+        (F.col("n_chars") % 2000 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 1500 + 1).cast("int").alias("height"),
+        (F.col("n_chars") * 17 % 3000).cast("int").alias("duration_ms"),
+    )
+
+
+MEDIA_SUITE_META = {
+    "name": "media",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "media_id", "type": "string", "nullable": False,
+         "pattern": "m-"},
+        {"name": "payload", "type": "binary", "nullable": False,
+         "minLength": 1, "maxLength": 1500},
+        {"name": "mime", "type": "string", "enum": MIMES},
+        {"name": "width", "type": "int32", "minimum": 1, "maximum": 1024},
+        {"name": "height", "type": "int32", "minimum": 1, "maximum": 1024},
+        {"name": "duration_ms", "type": "int32", "minimum": 0},
+    ],
+}
+
+
+def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return ConstraintPlan(media, Metadata(MEDIA_SUITE_META)).verdict_df()
+
+
+SQL_MEDIA_SUITE = f"""
+WITH {MEDIA_SQL_CTE}
+SELECT
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN media_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__media_id__nullable_test",
+  CAST(SUM(CASE WHEN media_id IS NOT NULL AND media_id NOT LIKE 'm-%'
+      THEN 1 ELSE 0 END) AS BIGINT) AS "__viol__media_id__pattern_test",
+  CAST(SUM(CASE WHEN payload IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__payload__nullable_test",
+  CAST(SUM(CASE WHEN octet_length(payload) < 1 OR octet_length(payload) > 1500
+      THEN 1 ELSE 0 END) AS BIGINT) AS "__viol__payload__min_max_length_test",
+  CAST(SUM(CASE WHEN mime IS NOT NULL AND mime NOT IN
+      ({", ".join(repr(m) for m in MIMES)}) THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__mime__enum_test",
+  CAST(SUM(CASE WHEN width < 1 OR width > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__width__min_max_test",
+  CAST(SUM(CASE WHEN height < 1 OR height > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__height__min_max_test",
+  CAST(SUM(CASE WHEN duration_ms < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__duration_ms__min_max_test"
+FROM media
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.multimodal import frame_sample_plan
+
+    media = media_table(spark, sf_dir)
+    frames = frame_sample_plan(media, FRAME_EVERY_MS)
+    # frame_payload is FRAME:<ms>:<sha256-hex-as-utf8>; cast back to string
+    # so the DuckDB oracle can rebuild it exactly
+    return frames.select(
+        "media_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("frame_payload").cast("string").alias("frame_sig"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH media_src AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+         text,
+         CAST((n_chars * 17) % 3000 AS INTEGER) AS duration_ms
+  FROM documents
+),
+frames AS (
+  SELECT media_id, text,
+         UNNEST(generate_series(0,
+             greatest(duration_ms - 1, 0), {FRAME_EVERY_MS})) AS frame_ms
+  FROM media_src
+)
+SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+       'FRAME:' || CAST(frame_ms AS VARCHAR) || ':' ||
+       sha256(text || CAST(frame_ms AS VARCHAR)) AS frame_sig
+FROM frames
+"""
+
+
+MEDIA_QUERIES = {
+    "media_suite": q_media_suite,
+    "media_frame_sample": q_media_frame_sample,
+}
+
+MEDIA_ORACLES = {
+    "media_suite": SQL_MEDIA_SUITE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+}
