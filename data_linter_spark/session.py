@@ -38,4 +38,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # shuffle/spill dir override (e.g. tmpfs for scaling measurements: a real
+    # cluster's shuffle disks scale with node count; the sandbox's single
+    # shared virtual disk does not — see BENCH/BASELINE.md)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
