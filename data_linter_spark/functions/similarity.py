@@ -140,3 +140,87 @@ def cosine_topk_lsh(
     if round_to is not None:
         out = out.withColumn("sim", F.round("sim", round_to))
     return out
+
+
+def ivf_assign_expr(col, centroids: list[tuple[int, list[float]]]):
+    """Cell id = argmax cosine(col, centroid), ties to the LOWEST cid —
+    computed as a pure column expression (sort an array of
+    (sim, -cid) structs; no Python in the loop)."""
+    entries = [
+        F.struct(
+            cosine_expr(col, F.array(*[F.lit(float(x)) for x in v])).alias("sim"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, v in centroids
+    ]
+    best = F.element_at(F.sort_array(F.array(*entries), asc=False), 1)
+    return (-best["neg_cid"]).cast("int")
+
+
+def ivf_probe_cells_expr(col, centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Top-``nprobe`` cell ids by centroid similarity (probe list)."""
+    entries = [
+        F.struct(
+            cosine_expr(col, F.array(*[F.lit(float(x)) for x in v])).alias("sim"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, v in centroids
+    ]
+    top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, nprobe)
+    return F.transform(top, lambda s: (-s["neg_cid"]).cast("int"))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_col: str,
+    c_col: str,
+    q_id: str,
+    c_id: str,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are bucketed by
+    nearest centroid ONCE (the inverted lists); each query scores only the
+    vectors in its ``nprobe`` closest cells. At 100 TB this is the classic
+    ANN layout: the cell assignment is a map-side expression, the inverted
+    lists are just a partitioning of the corpus, and the probe join fans out
+    |Q| x nprobe instead of |Q| x |cells|. Centroids here are caller-
+    supplied (deterministic — e.g. a fixed sample of the corpus, or k-means
+    trained offline), which keeps the plan reproducible and lets an external
+    oracle rebuild the exact same cells."""
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_col).alias("__c"),
+        ivf_assign_expr(F.col(c_col), centroids).alias("__cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id).alias("query_id"),
+            F.col(q_col).alias("__q"),
+            F.explode(
+                ivf_probe_cells_expr(F.col(q_col), centroids, nprobe)
+            ).alias("__cell"),
+        )
+    )
+    scored = (
+        c.join(q, on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__q"), F.col("__c")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"),
+                "sim")
+    )
+    if round_to is not None:
+        out = out.withColumn("sim", F.round("sim", round_to))
+    return out

@@ -588,6 +588,68 @@ FROM ranked WHERE rk <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# 9c. similarity search, IVF variant: corpus bucketed by nearest centroid
+#     (inverted lists), queries probe their nprobe closest cells. Centroids
+#     are a deterministic corpus sample (vec_id < IVF_K), so the oracle
+#     rebuilds the exact same cells from the data — no literals shipped.
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return cosine_topk_ivf(
+        queries, emb, "q_emb", "embedding", "query_id", "vec_id",
+        centroids=cents, k=ANN_K, nprobe=IVF_NPROBE,
+    )
+
+
+SQL_ANN_COSINE_TOPK_IVF = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {IVF_K}),
+assign AS (
+  SELECT a.vec_id, a.v, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS crk
+  FROM v a CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE crk = 1),
+probes AS (SELECT vec_id, v, cid AS cell FROM assign
+           WHERE crk <= {IVF_NPROBE} AND vec_id < {ANN_N_QUERIES}),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.v, c.v) AS sim
+  FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
+       ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 10. token-id histogram sketch over the tokens table (Arrow mapInPandas
 #     partial bincounts; oracle = plain unnest+groupBy SQL)
 # ---------------------------------------------------------------------------
@@ -677,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **IO_QUERIES,
         **MEDIA_QUERIES,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
         "suite_dates": q_suite_dates,
@@ -705,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         **IO_ORACLES,
         **MEDIA_ORACLES,
         "ann_cosine_topk_lsh": _sql_ann_lsh(),
+        "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
         "suite_dates": SQL_SUITE_DATES,
