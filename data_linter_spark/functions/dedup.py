@@ -88,12 +88,14 @@ def shingle_id(shingle: Column) -> Column:
 # -- shingling --------------------------------------------------------------
 
 
-def word_shingles(
+def word_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle). Docs with fewer
-    than n words contribute no shingles. Map-side only — no shuffle until
-    the per-doc distinct."""
+    """Per-document DISTINCT shingle set as an array column:
+    ``(id, shingles array<string>)``. ENTIRELY map-side
+    (``array_distinct`` dedupes within the row) — no shuffle anywhere, which
+    is the property the whole dedup family inherits: signatures become pure
+    projections of this relation."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     shingles = F.transform(
@@ -102,11 +104,20 @@ def word_shingles(
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return df.filter(F.size(words) >= n).select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("shingles")
     )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle) rows. Docs with
+    fewer than n words contribute no shingles. Map-side only: the explode of
+    the per-row distinct set replaces the earlier global ``.distinct()``,
+    which was a full shuffle of every (id, shingle) pair."""
+    sets = word_shingle_sets(df, id_col, text_col, n)
+    return sets.select("id", F.explode("shingles").alias("shingle"))
 
 
 # -- minhash ----------------------------------------------------------------
@@ -115,7 +126,10 @@ def word_shingles(
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) — one groupBy with n_hashes min-aggregations."""
+    """(id, mh0..mh{n-1}) from EXPLODED (id, shingle) rows — one groupBy
+    with n_hashes min-aggregations. Prefer
+    :func:`minhash_signatures_from_sets` where the set relation is at hand:
+    it computes the same signatures with NO shuffle at all."""
     sid = shingle_id(F.col("shingle")).alias("sid")
     with_sid = shingles.select("id", sid)
     aggs = [
@@ -125,6 +139,33 @@ def minhash_signatures(
         for j, (a, b) in enumerate(minhash_perms(n_hashes, seed))
     ]
     return with_sid.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, n_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) as a PURE PROJECTION of the per-doc shingle-set
+    relation (word_shingle_sets): shingle ids via one ``transform`` (md5
+    evaluated once per shingle), each permutation an ``array_min`` over the
+    id array. No explode, no groupBy, no shuffle — at 10^12 docs the first
+    shuffle in the minhash pipeline is the (band_idx, band_key) join, which
+    is exactly where it belongs. Identical values to
+    :func:`minhash_signatures` (same set, same hashes, min is order-free)."""
+    with_sids = sets.select(
+        "id",
+        "shingles",
+        F.transform("shingles", lambda s: shingle_id(s)).alias("__sids"),
+    )
+    projs = [
+        F.array_min(
+            F.transform(
+                "__sids",
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P),
+            )
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_perms(n_hashes, seed))
+    ]
+    return with_sids.select("id", *projs)
 
 
 def lsh_bands(
@@ -172,6 +213,28 @@ def lsh_candidate_pairs(
 
 
 # -- exact jaccard verify ---------------------------------------------------
+
+
+def jaccard_for_pairs_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the per-doc set relation:
+    two id-equi-joins pull the two shingle arrays onto the pair row, then
+    ``array_intersect`` computes |A∩B| in one pass — replacing the exploded
+    variant's two shingle-level joins + groupBy (a shuffle of every shingle
+    of every candidate doc) with a shuffle of candidate IDS only, the far
+    smaller relation."""
+    a = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    sz_a, sz_b = F.size(F.col("__sa")), F.size(F.col("__sb"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (sz_a + sz_b - inter)).alias("jaccard"),
+        )
+    )
 
 
 def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -226,7 +289,8 @@ def ngram_jaccard_pairs(
     means near-identical boilerplate documents — exactly what
     minhash_near_dups (the primary scale path) still catches. ``None``
     disables the cap (oracle-verification mode)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    sets = word_shingle_sets(df, id_col, text_col, n)
+    sh = sets.select("id", F.explode("shingles").alias("shingle"))
     cand_sh = sh
     if max_shingle_df is not None:
         hot = (
@@ -244,7 +308,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_for_pairs(sh, cands).filter(
+    return jaccard_for_pairs_sets(sets, cands).filter(
         F.col("jaccard") >= F.lit(min_jaccard)
     )
 
@@ -260,12 +324,15 @@ def minhash_near_dups(
     min_jaccard: float = 0.6,
     seed: int = 42,
 ) -> DataFrame:
-    """Full pipeline: shingles -> signatures -> LSH buckets -> candidate
-    pairs -> exact Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, n_hashes, seed)
+    """Full pipeline: shingle sets -> signatures (pure projection, no
+    shuffle) -> LSH band buckets -> candidate pairs -> exact Jaccard >=
+    threshold via array_intersect. Returns (id_a, id_b, jaccard). The ONLY
+    shuffles in the plan are the band bucket join and the two candidate-id
+    joins — signatures and sets never shuffle."""
+    sets = word_shingle_sets(df, id_col, text_col, n)
+    sig = minhash_signatures_from_sets(sets, n_hashes, seed)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return jaccard_for_pairs(sh, cands).filter(
+    return jaccard_for_pairs_sets(sets, cands).filter(
         F.col("jaccard") >= F.lit(min_jaccard)
     )
 
@@ -278,33 +345,50 @@ SIMHASH_BITS = 63  # fingerprint stays non-negative in a signed int64
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """63-bit SimHash over word shingles: bit k of the fingerprint is the
-    sign of the sum over shingles of (2*bit_k(hash(shingle)) - 1).
-    One explode + one groupBy with 63 sum-aggregations (all JVM-side).
+    sign of the sum over shingles of (2*bit_k(hash(shingle)) - 1) —
+    equivalently ``2*popcount_k - |set| > 0``. Computed as a PURE PROJECTION
+    of the per-doc shingle-set relation (one md5 ``transform``, then 63
+    ``aggregate`` folds over the hash arrays) — no explode, no groupBy, no
+    shuffle anywhere in fingerprinting.
 
     The per-shingle hash is PORTABLE: md5 -> two hex8 chunks -> two 32-bit
     longs (same fixed positional arithmetic as :func:`hex8_to_long`), so the
     DuckDB oracle reproduces fingerprints bit-for-bit."""
-    sh = word_shingles(df, id_col, text_col, n)
-    hx = F.md5(F.col("shingle").cast("binary"))
-    with_h = sh.select(
+    sets = word_shingle_sets(df, id_col, text_col, n)
+    hx = sets.select(
         "id",
-        hex8_to_long(F.substring(hx, 1, 8)).alias("__lo"),
-        hex8_to_long(F.substring(hx, 9, 8)).alias("__hi"),
+        F.transform(
+            "shingles", lambda s: F.md5(s.cast("binary"))
+        ).alias("__hx"),
     )
-    aggs = []
-    for k in range(SIMHASH_BITS):
-        src = F.col("__lo") if k < 32 else F.col("__hi")
-        bit = F.shiftright(src, k % 32).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{k}")
-        )
-    sums = with_h.groupBy("id").agg(*aggs)
+    lohi = hx.select(
+        "id",
+        F.transform(
+            "__hx", lambda h: hex8_to_long(F.substring(h, 1, 8))
+        ).alias("__lo"),
+        F.transform(
+            "__hx", lambda h: hex8_to_long(F.substring(h, 9, 8))
+        ).alias("__hi"),
+        F.size("__hx").cast("long").alias("__n"),
+    )
+    def _popcount_k(k: int):
+        def merge(acc, x):
+            return acc + F.shiftright(x, k % 32).bitwiseAND(F.lit(1))
+
+        return F.aggregate(
+            "__lo" if k < 32 else "__hi", F.lit(0).cast("long"), merge
+        ).alias(f"b{k}")
+
+    sumbits = lohi.select(
+        "id", "__n", *[_popcount_k(k) for k in range(SIMHASH_BITS)]
+    )
     fp = F.lit(0).cast("long")
     for k in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(2**k).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sums.select("id", fp.alias("simhash"))
+        fp = fp + F.when(
+            F.lit(2) * F.col(f"b{k}") - F.col("__n") > 0,
+            F.lit(2**k).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return sumbits.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dups(
