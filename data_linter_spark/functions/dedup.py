@@ -93,9 +93,9 @@ def word_shingle_sets(
 ) -> DataFrame:
     """Per-document DISTINCT shingle set as an array column:
     ``(id, shingles array<string>)``. ENTIRELY map-side
-    (``array_distinct`` dedupes within the row) — no shuffle anywhere, which
-    is the property the whole dedup family inherits: signatures become pure
-    projections of this relation."""
+    (``array_distinct`` dedupes within the row — the earlier global
+    ``.distinct()`` was a full shuffle of every (id, shingle) pair). The
+    Jaccard verify consumes this relation directly via array_intersect."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     shingles = F.transform(
@@ -127,9 +127,8 @@ def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) from EXPLODED (id, shingle) rows — one groupBy
-    with n_hashes min-aggregations. Prefer
-    :func:`minhash_signatures_from_sets` where the set relation is at hand:
-    it computes the same signatures with NO shuffle at all."""
+    with n_hashes codegen'd min-aggregations; partial combine collapses a
+    doc's co-located shingles to one signature row before the exchange."""
     sid = shingle_id(F.col("shingle")).alias("sid")
     with_sid = shingles.select("id", sid)
     aggs = [
@@ -144,28 +143,21 @@ def minhash_signatures(
 def minhash_signatures_from_sets(
     sets: DataFrame, n_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) as a PURE PROJECTION of the per-doc shingle-set
-    relation (word_shingle_sets): shingle ids via one ``transform`` (md5
-    evaluated once per shingle), each permutation an ``array_min`` over the
-    id array. No explode, no groupBy, no shuffle — at 10^12 docs the first
-    shuffle in the minhash pipeline is the (band_idx, band_key) join, which
-    is exactly where it belongs. Identical values to
-    :func:`minhash_signatures` (same set, same hashes, min is order-free)."""
-    with_sids = sets.select(
-        "id",
-        "shingles",
-        F.transform("shingles", lambda s: shingle_id(s)).alias("__sids"),
-    )
-    projs = [
-        F.array_min(
-            F.transform(
-                "__sids",
-                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P),
-            )
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(minhash_perms(n_hashes, seed))
-    ]
-    return with_sids.select("id", *projs)
+    """(id, mh0..mh{n-1}) from the per-doc shingle-set relation:
+    map-side explode + one groupBy(id) with n_hashes codegen'd
+    min-aggregations.
+
+    Why explode+agg and not array ``transform``/``array_min`` projections:
+    a doc's exploded shingles all sit in the SAME partition (they came from
+    one input row), so hash-aggregate partial combine collapses them to one
+    32-long signature row per doc BEFORE the exchange — the shuffle carries
+    only the signature relation itself, which is the theoretical minimum.
+    Meanwhile Spark evaluates higher-order lambdas INTERPRETED (no
+    whole-stage codegen): the all-projection variant measured ~3x slower at
+    sf0.1 despite being "shuffle-free". Codegen beats shuffle avoidance
+    when the shuffle is already output-sized."""
+    sh = sets.select("id", F.explode("shingles").alias("shingle"))
+    return minhash_signatures(sh, n_hashes, seed)
 
 
 def lsh_bands(
@@ -345,50 +337,38 @@ SIMHASH_BITS = 63  # fingerprint stays non-negative in a signed int64
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """63-bit SimHash over word shingles: bit k of the fingerprint is the
-    sign of the sum over shingles of (2*bit_k(hash(shingle)) - 1) —
-    equivalently ``2*popcount_k - |set| > 0``. Computed as a PURE PROJECTION
-    of the per-doc shingle-set relation (one md5 ``transform``, then 63
-    ``aggregate`` folds over the hash arrays) — no explode, no groupBy, no
-    shuffle anywhere in fingerprinting.
+    sign of the sum over shingles of (2*bit_k(hash(shingle)) - 1).
+    Map-side-distinct shingle explode + ONE groupBy(id) with 63 codegen'd
+    sum-aggregations: a doc's exploded shingles share a partition, so
+    partial combine collapses them to one 63-counter row per doc before the
+    exchange -- the shuffle carries only fingerprint-sized rows. (An
+    all-projection variant via interpreted ``aggregate`` lambdas measured
+    slower; see minhash_signatures_from_sets.)
 
     The per-shingle hash is PORTABLE: md5 -> two hex8 chunks -> two 32-bit
     longs (same fixed positional arithmetic as :func:`hex8_to_long`), so the
     DuckDB oracle reproduces fingerprints bit-for-bit."""
-    sets = word_shingle_sets(df, id_col, text_col, n)
-    hx = sets.select(
+    sh = word_shingles(df, id_col, text_col, n)
+    hx = F.md5(F.col("shingle").cast("binary"))
+    with_h = sh.select(
         "id",
-        F.transform(
-            "shingles", lambda s: F.md5(s.cast("binary"))
-        ).alias("__hx"),
+        hex8_to_long(F.substring(hx, 1, 8)).alias("__lo"),
+        hex8_to_long(F.substring(hx, 9, 8)).alias("__hi"),
     )
-    lohi = hx.select(
-        "id",
-        F.transform(
-            "__hx", lambda h: hex8_to_long(F.substring(h, 1, 8))
-        ).alias("__lo"),
-        F.transform(
-            "__hx", lambda h: hex8_to_long(F.substring(h, 9, 8))
-        ).alias("__hi"),
-        F.size("__hx").cast("long").alias("__n"),
-    )
-    def _popcount_k(k: int):
-        def merge(acc, x):
-            return acc + F.shiftright(x, k % 32).bitwiseAND(F.lit(1))
-
-        return F.aggregate(
-            "__lo" if k < 32 else "__hi", F.lit(0).cast("long"), merge
-        ).alias(f"b{k}")
-
-    sumbits = lohi.select(
-        "id", "__n", *[_popcount_k(k) for k in range(SIMHASH_BITS)]
-    )
+    aggs = []
+    for k in range(SIMHASH_BITS):
+        src = F.col("__lo") if k < 32 else F.col("__hi")
+        bit = F.shiftright(src, k % 32).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{k}")
+        )
+    sums = with_h.groupBy("id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for k in range(SIMHASH_BITS):
-        fp = fp + F.when(
-            F.lit(2) * F.col(f"b{k}") - F.col("__n") > 0,
-            F.lit(2**k).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return sumbits.select("id", fp.alias("simhash"))
+        fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(2**k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dups(
