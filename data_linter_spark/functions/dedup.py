@@ -265,6 +265,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.8,
     max_shingle_df: Optional[int] = 256,
+    cache: bool = True,
 ) -> DataFrame:
     """Direct near-dup detection: candidates = pairs sharing ANY shingle
     (shingle-join), verified with exact Jaccard.
@@ -282,6 +283,16 @@ def ngram_jaccard_pairs(
     minhash_near_dups (the primary scale path) still catches. ``None``
     disables the cap (oracle-verification mode)."""
     sets = word_shingle_sets(df, id_col, text_col, n)
+    if cache:
+        # shingle GENERATION (split + n-gram transform) is the expensive
+        # map work and this DAG uses the relation 4x (hot count, join
+        # left/right, verify); persist evaluates it once — the standard
+        # materialize-the-feature-relation step of a dedup pipeline (at
+        # extreme scale: checkpoint to a table instead; MEMORY_AND_DISK
+        # spills rather than OOMs meanwhile)
+        from pyspark.storagelevel import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sh = sets.select("id", F.explode("shingles").alias("shingle"))
     cand_sh = sh
     if max_shingle_df is not None:
@@ -315,13 +326,19 @@ def minhash_near_dups(
     rows_per_band: int = 4,
     min_jaccard: float = 0.6,
     seed: int = 42,
+    cache: bool = True,
 ) -> DataFrame:
-    """Full pipeline: shingle sets -> signatures (pure projection, no
-    shuffle) -> LSH band buckets -> candidate pairs -> exact Jaccard >=
-    threshold via array_intersect. Returns (id_a, id_b, jaccard). The ONLY
-    shuffles in the plan are the band bucket join and the two candidate-id
-    joins — signatures and sets never shuffle."""
+    """Full pipeline: shingle sets (map-side distinct, persisted — the
+    n-gram transform is the expensive map work and the DAG uses the
+    relation 3x) -> signatures (one groupBy, partial-combined map-side) ->
+    LSH band buckets -> candidate pairs -> exact Jaccard >= threshold via
+    array_intersect. Returns (id_a, id_b, jaccard). Shuffles: signature
+    groupBy (output-sized), band bucket join, two candidate-id joins."""
     sets = word_shingle_sets(df, id_col, text_col, n)
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures_from_sets(sets, n_hashes, seed)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
     return jaccard_for_pairs_sets(sets, cands).filter(
@@ -372,15 +389,25 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     block trick: split the 63 used bits into (max_hamming+1) blocks — any
     pair within distance k agrees exactly on >= 1 block (pigeonhole, so the
     candidate set is LOSSLESS) — join per block, verify with popcount.
-    Avoids the full self-join; the block melt is a single explode (the
-    fingerprint aggregation runs once)."""
+    Avoids the full self-join; the block melt is a single explode, and the
+    fingerprint relation (id + one long — tiny) is persisted so the
+    shingle+fingerprint work runs once, not once per self-join side."""
     fps = simhash64(df, id_col, text_col, n)
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     n_blocks = max_hamming + 1
     width = SIMHASH_BITS // n_blocks + 1
     entries = [
