@@ -487,6 +487,11 @@ def embedding_near_dups(
     melted = emb.select(
         F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("__e")
     ).select("id", F.col("__e.band").alias("band"), F.col("__e.key").alias("key"))
+    # (id, band, key) is tiny; persisting evaluates the bands*planes dot
+    # products once instead of once per self-join side
+    from pyspark.storagelevel import StorageLevel
+
+    melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         melted.alias("l")
         .join(melted.alias("r"), on=["band", "key"])
