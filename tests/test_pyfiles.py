@@ -1,0 +1,27 @@
+"""The --py-files artifact must be zipimport-able in a clean interpreter —
+that is exactly how spark-submit ships the package to executors."""
+
+import subprocess
+import sys
+
+
+def test_pyfiles_zip_imports_clean(tmp_path):
+    from tools.package_pyfiles import build
+
+    out = build(str(tmp_path / "data_linter_spark.zip"))
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "import data_linter_spark as d; "
+        "from data_linter_spark.compiler import ConstraintPlan; "
+        "from data_linter_spark.checks.unique import duplicate_stats; "
+        "print(d.__version__)" % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo root: the zip must stand alone
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip()

@@ -1,0 +1,36 @@
+"""Build the --py-files artifact for cluster submission.
+
+    python tools/package_pyfiles.py [out.zip]
+
+Produces a zipimport-able archive of the ``data_linter_spark`` package (the
+north_rule launch mode: ``spark-submit --py-files data_linter_spark.zip``).
+Pure-Python package, no binary deps beyond pyspark/pyarrow/pandas which the
+cluster image provides — so one zip serves every executor.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(out)) or ".", exist_ok=True)
+    pkg = os.path.join(REPO, "data_linter_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, REPO)
+                zf.write(full, rel)
+    return out
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "dist/data_linter_spark.zip"
+    print(build(out))
