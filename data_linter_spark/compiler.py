@@ -54,6 +54,19 @@ class ConstraintPlan:
             if name not in dtypes:
                 continue  # alignment layer has already decided what to do
             self.specs.extend(build_column_specs(meta_col, dtypes[name]))
+        # cross-column row invariants (metadata "row-conditions", graft
+        # extension): compiled into the SAME fused pass as the per-column
+        # tests — an expression_test costs zero extra scans
+        for cond in metadata.row_conditions:
+            expr = F.expr(cond["expression"])
+            self.specs.append(
+                ConstraintSpec(
+                    cond["name"],
+                    "expression_test",
+                    {"expression": cond["expression"]},
+                    ~expr,
+                )
+            )
 
     # -- the single-pass verdict aggregation --------------------------
     def agg_exprs(self) -> list:

@@ -160,6 +160,16 @@ class Metadata:
             if "type" in c and "type_category" not in c:
                 c["type_category"] = type_category_of(c["type"])
 
+    @property
+    def row_conditions(self) -> list[dict]:
+        """Cross-column row invariants (graft extension; the reference has
+        only per-column tests). Each entry is ``{"name": ..., "expression":
+        <Spark SQL boolean>}``; a row violates when the expression is false
+        (null = unknown = not a violation, matching the per-column null
+        semantics). Motivating case: the tokens-table invariant
+        ``n_tok = size(tokens)`` (BASELINE.json input_hint / FIXTURES.md F1)."""
+        return self._d.get("row-conditions", [])
+
     def to_dict(self) -> dict:
         return json.loads(json.dumps(self._d))
 

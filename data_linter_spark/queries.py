@@ -528,6 +528,57 @@ FROM ranked WHERE rk <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# 2b. cross-column row invariants over the tokens table (metadata
+#     "row-conditions" -> expression_test, fused into the same single-pass
+#     agg): the BASELINE.json input_hint per-row invariant
+#     n_tok == size(tokens), with violations PLANTED deterministically so
+#     the counter is non-trivial, plus a two-column bounds conjunction.
+# ---------------------------------------------------------------------------
+
+TOKENS_INVARIANTS_META = {
+    "name": "tokens_inv",
+    "file_format": "parquet",
+    "columns": [],
+    "row-conditions": [
+        {"name": "tok_len", "expression": "n_tok = size(tokens)"},
+        {
+            "name": "tok_bounds",
+            "expression": "array_min(tokens) >= 0 AND array_max(tokens) < 50257",
+        },
+    ],
+}
+
+
+def q_suite_tokens_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_from_documents(spark, sf_dir)
+    corrupted = toks.withColumn(
+        "n_tok",
+        F.when(F.col("n_tok") % 89 == 0, F.col("n_tok") + 1).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    return ConstraintPlan(corrupted, Metadata(TOKENS_INVARIANTS_META)).verdict_df()
+
+
+SQL_SUITE_TOKENS_INVARIANTS = f"""
+WITH {TOKENS_SQL_CTE},
+corrupted AS (
+  SELECT doc_id, tokens,
+         CASE WHEN n_tok % 89 = 0 THEN n_tok + 1 ELSE n_tok END AS n_tok
+  FROM tokens_tbl
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS __total_rows,
+  CAST(SUM(CASE WHEN NOT (n_tok = len(tokens)) THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__tok_len__expression_test",
+  CAST(SUM(CASE WHEN NOT (list_min(tokens) >= 0 AND list_max(tokens) < 50257)
+      THEN 1 ELSE 0 END) AS BIGINT)
+      AS "__viol__tok_bounds__expression_test"
+FROM corrupted
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9b. similarity search, scale path: LSH-bucketed cosine top-k. The oracle
 #     recomputes the SAME deterministic random-hyperplane signature in SQL
 #     (identical plane constants, identical bit packing), so the candidate
@@ -742,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
+        "suite_tokens_invariants": q_suite_tokens_invariants,
         "suite_dates": q_suite_dates,
         "verdicts_by_source": q_verdicts_by_source,
         "unique_lineitem": q_unique_lineitem,
@@ -771,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
+        "suite_tokens_invariants": SQL_SUITE_TOKENS_INVARIANTS,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

@@ -454,3 +454,34 @@ def test_suite_dates_counters_nonzero(spark):
     for k, v in row.items():
         if k.startswith("__viol__"):
             assert v > 0, f"{k} planted no violations"
+
+
+def test_row_conditions_expression_test(spark):
+    """Cross-column row invariants compile into the same fused pass; null
+    expression results are unknown, not violations."""
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    df = spark.createDataFrame(
+        [(1, [10, 20], 2), (2, [5], 2), (3, None, 1), (4, [1, 2, 3], 3)],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    meta = Metadata(
+        {
+            "name": "t",
+            "file_format": "parquet",
+            "columns": [],
+            "row-conditions": [
+                {"name": "len_inv", "expression": "n_tok = size(tokens)"},
+            ],
+        }
+    )
+    row = ConstraintPlan(df, meta).verdict_df().collect()[0].asDict()
+    # row 2 violates (2 != 1); row 3 also violates: with ANSI off Spark's
+    # legacy size(NULL) = -1, so 1 = size(NULL) is FALSE (not null) —
+    # pinned here so a session-conf change that flips it to null/unknown
+    # semantics fails loudly rather than silently shifting counts
+    assert row["__total_rows"] == 4
+    assert row["__viol__len_inv__expression_test"] == 2
+    resp = ConstraintPlan(df, meta).run()
+    assert resp.get_result()["len_inv"]["expression_test"]["valid"] is False
