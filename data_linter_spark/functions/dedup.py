@@ -461,34 +461,31 @@ def embedding_near_dups(
     """Pairs with cosine similarity >= threshold via random-hyperplane LSH.
 
     Scale shape: each vector gets ``bands`` signature keys (8 sign bits per
-    band, one explode); candidates = id pairs sharing >= 1 (band, key)
+    band, ONE Arrow-batched numpy matmul producing all bands at once, then
+    one posexplode); candidates = id pairs sharing >= 1 (band, key)
     bucket — the bucket join shuffles only (band, key, id), never vectors or
-    |docs|^2 pairs; exact cosine verifies candidates after re-joining the
-    vectors by id. Identical vectors collide in EVERY band, so recall on
-    exact duplicates is 1.0; a pair at cosine c survives a band w.p.
-    (1 - acos(c)/pi)^8, OR'd over bands. The all-pairs exact variant is
-    :func:`embedding_near_dups_exact` (small-n recall verification only)."""
+    |docs|^2 pairs; exact cosine (vectorized einsum) verifies candidates
+    after re-joining the vectors by id. Identical vectors collide in EVERY
+    band, so recall on exact duplicates is 1.0; a pair at cosine c survives
+    a band w.p. (1 - acos(c)/pi)^8, OR'd over bands. The all-pairs exact
+    variant is :func:`embedding_near_dups_exact` (small-n recall
+    verification only)."""
     from data_linter_spark.functions.similarity import (
         _planes,
-        cosine_expr,
-        lsh_signature,
+        cosine_sim_pd,
+        lsh_band_keys_udf,
     )
 
     if dim is None:
         dim = emb.select(F.size(F.col(vec_col))).first()[0]
     all_planes = _planes(dim, bands * planes_per_band, seed)
-    entries = []
-    for b in range(bands):
-        sig = lsh_signature(
-            F.col(vec_col),
-            all_planes[b * planes_per_band : (b + 1) * planes_per_band],
-        )
-        entries.append(F.struct(F.lit(b).alias("band"), sig.alias("key")))
+    keys = lsh_band_keys_udf(all_planes, bands, planes_per_band)
     melted = emb.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("__e")
-    ).select("id", F.col("__e.band").alias("band"), F.col("__e.key").alias("key"))
-    # (id, band, key) is tiny; persisting evaluates the bands*planes dot
-    # products once instead of once per self-join side
+        F.col(id_col).alias("id"),
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
+    )
+    # (id, band, key) is tiny; persisting evaluates the signature matmul
+    # once instead of once per self-join side
     from pyspark.storagelevel import StorageLevel
 
     melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
@@ -505,7 +502,7 @@ def embedding_near_dups(
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
-            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+            "id_a", "id_b", cosine_sim_pd(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
@@ -516,7 +513,7 @@ def embedding_near_dups_exact(
 ) -> DataFrame:
     """All-pairs exact variant — O(n^2); ONLY for verifying the LSH path's
     recall on small corpora."""
-    from data_linter_spark.functions.similarity import cosine_expr
+    from data_linter_spark.functions.similarity import cosine_sim_pd
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -524,7 +521,7 @@ def embedding_near_dups_exact(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+            "id_a", "id_b", cosine_sim_pd(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )

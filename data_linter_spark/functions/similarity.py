@@ -13,8 +13,12 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 
 def _dot(a, b):
@@ -26,8 +30,80 @@ def _dot(a, b):
 
 
 def cosine_expr(a, b):
-    """Cosine similarity of two array columns, computed in doubles JVM-side."""
+    """Cosine similarity of two array columns as a pure JVM expression.
+
+    Spark evaluates higher-order-function lambdas INTERPRETED (one lambda
+    call per array element), so this form costs ~3 x dim interpreter steps
+    per row — keep it for tiny candidate sets or Arrow-less environments;
+    the hot paths below use :func:`cosine_sim_pd` (one numpy matmul per
+    Arrow batch, the input_hint's sanctioned "vectorized pandas/Arrow UDF"
+    shape)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """Arrow batch of array<float/double> -> (n, dim) float64 matrix."""
+    return np.stack([np.asarray(x, dtype=np.float64) for x in s])
+
+
+@pandas_udf(DoubleType())
+def cosine_sim_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine similarity over two array columns: one einsum per
+    Arrow batch, float64 throughout (matches the float->double cast of the
+    expression form; summation-order differences vs sequential adds are
+    ~1e-16 relative, far below the 1e-6 rounding every consumer applies)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A, B = _mat(a), _mat(b)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+        np.einsum("ij,ij->i", B, B)
+    )
+    return pd.Series(num / den)
+
+
+def lsh_band_keys_udf(planes: list[list[float]], bands: int, planes_per_band: int):
+    """Vectorized random-hyperplane signatures: returns a pandas UDF mapping
+    an embedding column to ``array<bigint>`` of per-band keys (bit i of band
+    b = sign(v . plane[b*ppb + i]), packed little-endian — identical to
+    :func:`lsh_signature` on the per-band plane slice). One (n, dim) x
+    (dim, bands*ppb) matmul per Arrow batch instead of bands*ppb interpreted
+    array-aggregations per row."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, bands*ppb)
+    w = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        bits = (_mat(v) @ P) >= 0  # (n, bands*ppb)
+        keys = bits.reshape(-1, bands, planes_per_band).astype(np.int64) @ w
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def ivf_probe_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Vectorized IVF cell ranking: pandas UDF mapping an embedding column
+    to ``array<int>`` of the ``nprobe`` nearest cell ids by centroid cosine
+    (ties to the LOWEST cid — same order as :func:`ivf_assign_expr` and the
+    SQL oracle's ``ORDER BY sim DESC, cid``). Element 1 is the cell
+    assignment. One matmul against the (dim, k) centroid matrix per batch."""
+    cents = sorted(centroids)  # cid-ascending => stable argsort breaks ties low
+    cids = np.asarray([c for c, _ in cents], dtype=np.int32)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, k)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = _mat(v)
+        sims = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ Cn  # (n, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
+    return probe_cells
 
 
 def cosine_topk(
@@ -51,7 +127,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("__q"), F.col("__c")).alias("sim"),
+            cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -109,17 +185,18 @@ def cosine_topk_lsh(
     LSH bucket. The bucket join replaces the cross join — the scored-pair
     count drops from |Q|·|C| to the per-bucket collision volume."""
     planes = _planes(dim, n_planes)
+    sig = lsh_band_keys_udf(planes, bands=1, planes_per_band=n_planes)
     q = F.broadcast(
         queries.select(
             F.col(q_id).alias("query_id"),
             F.col(q_col).alias("__q"),
-            lsh_signature(F.col(q_col), planes).alias("__bucket"),
+            F.element_at(sig(F.col(q_col)), 1).alias("__bucket"),
         )
     )
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_col).alias("__c"),
-        lsh_signature(F.col(c_col), planes).alias("__bucket"),
+        F.element_at(sig(F.col(c_col)), 1).alias("__bucket"),
     )
     scored = (
         c.join(q, on="__bucket")
@@ -127,7 +204,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("__q"), F.col("__c")).alias("sim"),
+            cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -191,18 +268,18 @@ def cosine_topk_ivf(
     supplied (deterministic — e.g. a fixed sample of the corpus, or k-means
     trained offline), which keeps the plan reproducible and lets an external
     oracle rebuild the exact same cells."""
+    assign = ivf_probe_udf(centroids, nprobe=1)
+    probes = ivf_probe_udf(centroids, nprobe=nprobe)
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_col).alias("__c"),
-        ivf_assign_expr(F.col(c_col), centroids).alias("__cell"),
+        F.element_at(assign(F.col(c_col)), 1).alias("__cell"),
     )
     q = F.broadcast(
         queries.select(
             F.col(q_id).alias("query_id"),
             F.col(q_col).alias("__q"),
-            F.explode(
-                ivf_probe_cells_expr(F.col(q_col), centroids, nprobe)
-            ).alias("__cell"),
+            F.explode(probes(F.col(q_col))).alias("__cell"),
         )
     )
     scored = (
@@ -211,7 +288,7 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("__q"), F.col("__c")).alias("sim"),
+            cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
