@@ -380,23 +380,38 @@ GROUP BY 1
 
 def q_psi_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI + KS between even/odd event_id halves, on the shared fixed bins.
-    Values rounded to 6 dp so cross-engine double-summation order can't
-    flip the hash."""
+    ONE scan: both halves' bin counts come out of a single groupBy(bucket)
+    aggregation with conditional sums (the two-filtered-scans form read the
+    table twice). Values rounded to 6 dp so cross-engine double-summation
+    order can't flip the hash."""
     from data_linter_spark.checks.drift import (
+        HistogramProfile,
+        _bucket_expr,
         ks_statistic,
-        numeric_histogram,
         psi,
     )
 
     events = _read(spark, sf_dir, "events")
-    a = numeric_histogram(
-        events.filter(F.col("event_id") % 2 == 0), "value", HIST_LO, HIST_HI,
-        HIST_BINS,
+    even = F.col("event_id") % 2 == 0
+    rows = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            _bucket_expr(F.col("value"), HIST_LO, HIST_HI, HIST_BINS).alias(
+                "__bucket"
+            )
+        )
+        .agg(
+            F.sum(F.when(even, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(even, 0).otherwise(1)).alias("__cb"),
+        )
+        .collect()
     )
-    b = numeric_histogram(
-        events.filter(F.col("event_id") % 2 == 1), "value", HIST_LO, HIST_HI,
-        HIST_BINS,
-    )
+    ca, cb = [0.0] * HIST_BINS, [0.0] * HIST_BINS
+    for r in rows:
+        ca[r["__bucket"]] = float(r["__ca"])
+        cb[r["__bucket"]] = float(r["__cb"])
+    a = HistogramProfile(HIST_LO, HIST_HI, HIST_BINS, ca)
+    b = HistogramProfile(HIST_LO, HIST_HI, HIST_BINS, cb)
     return spark.createDataFrame(
         [(round(psi(a, b), 6), round(ks_statistic(a, b), 6))],
         "psi double, ks double",
