@@ -15,13 +15,24 @@ a no-data-scan check.
 
 from __future__ import annotations
 
+import os
 import traceback
 from typing import Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.checks.drift import (
+    HistogramProfile,
+    drift_test_result,
+    numeric_histogram,
+)
+from data_linter_spark.checks.referential import referential_test_result
+from data_linter_spark.checks.unique import (
+    uniqueness_screen_exprs,
+    unique_test_result,
+)
+from data_linter_spark.compiler import TOTAL_ALIAS, ConstraintPlan
 from data_linter_spark.metadata import Metadata
 from data_linter_spark.response import ValidatorResult
 from data_linter_spark.sources.readers import parse_data_to_spark
@@ -45,6 +56,11 @@ class SparkValidator:
         spark: Optional[SparkSession] = None,
         log_verbosity: Optional[int] = None,
         row_id_col: Optional[str] = None,
+        ref_tables: Optional[dict[str, Union[str, DataFrame]]] = None,
+        baseline_profiles: Optional[
+            dict[str, Union[str, HistogramProfile]]
+        ] = None,
+        unique_screen_only: bool = False,
     ):
         self.spark = spark or SparkSession.getActiveSession()
         if isinstance(filepath, DataFrame):
@@ -58,6 +74,15 @@ class SparkValidator:
         self.metadata.set_col_type_category_from_types()
         self.log_verbosity = table_params.get("log_verbosity", log_verbosity)
         self.row_id_col = row_id_col
+        # graft extension surfaces (metadata keys the reference declares or
+        # SURVEY §2.9 adds but the reference never executes):
+        #   unique: true            -> unique_test (HLL screen fused into the
+        #                              main pass + exact dedup when needed)
+        #   references: {...}       -> referential_test (dim from ref_tables)
+        #   drift: {...thresholds}  -> drift_test vs baseline_profiles[col]
+        self.ref_tables = ref_tables or {}
+        self.baseline_profiles = baseline_profiles or {}
+        self.unique_screen_only = unique_screen_only
         self.response = ValidatorResult()
         self.plan: Optional[ConstraintPlan] = None
 
@@ -97,8 +122,11 @@ class SparkValidator:
     def validate_df(
         self, df: DataFrame, cast_checked_cols: Optional[list[str]] = None
     ) -> None:
-        """Compile all requested constraints + cast-conformance counters into
-        one aggregation pass and fill the response."""
+        """Compile all requested constraints + cast-conformance counters +
+        uniqueness screen counters into ONE aggregation pass, fill the
+        response, then run the (per-column, optional) second passes that are
+        not expressible as row-local aggregates: exact duplicate counts,
+        referential anti-joins, drift histograms."""
         plan = self.plan = ConstraintPlan(
             df,
             self.metadata,
@@ -114,11 +142,26 @@ class SparkValidator:
                     f"__castfail__{c}"
                 )
             )
-        if cast_aggs:
-            row = df.agg(*plan.agg_exprs(), *cast_aggs).collect()[0].asDict()
+        unique_cols = [
+            mc["name"]
+            for mc in self.metadata.columns
+            if mc.get("unique") and mc["name"] in df.columns
+        ]
+        screen_aggs = []
+        for c in unique_cols:
+            screen_aggs.extend(uniqueness_screen_exprs(c))
+
+        total: Optional[int] = None
+        if plan.specs or cast_aggs or screen_aggs:
+            row = (
+                df.agg(*plan.agg_exprs(), *cast_aggs, *screen_aggs)
+                .collect()[0]
+                .asDict()
+            )
+            total = row[TOTAL_ALIAS]
             bad_cols = {
                 c: row[f"__castfail__{c}"]
-                for c in cast_checked_cols
+                for c in cast_checked_cols or []
                 if row.get(f"__castfail__{c}")
             }
             if bad_cols:
@@ -133,8 +176,79 @@ class SparkValidator:
                     },
                 )
             plan.fill_from_row(row, self.response)
-        else:
-            plan.run(self.response)
+            for c in unique_cols:
+                res = unique_test_result(
+                    df,
+                    c,
+                    total_rows=total,
+                    screen_counters=(
+                        int(row[f"__uq_count__{c}"]),
+                        int(row[f"__uq_approx__{c}"]),
+                    ),
+                    screen_only=self.unique_screen_only,
+                )
+                self.response.add_test_to_col(c, "unique_test", res)
+
+        for mc in self.metadata.columns:
+            name = mc["name"]
+            if name not in df.columns:
+                continue  # alignment layer has already decided what to do
+            ref = mc.get("references")
+            if ref:
+                res = referential_test_result(
+                    df,
+                    name,
+                    self._resolve_ref_table(ref["table"]),
+                    ref["column"],
+                    ref_table_name=ref["table"],
+                    total_rows=total,
+                )
+                self.response.add_test_to_col(name, "referential_test", res)
+            drift_spec = mc.get("drift")
+            if drift_spec:
+                baseline = self._resolve_baseline(name)
+                current = numeric_histogram(
+                    df, name, baseline.lo, baseline.hi, baseline.n_bins
+                )
+                res = drift_test_result(
+                    baseline,
+                    current,
+                    name,
+                    psi_threshold=drift_spec.get("psi_threshold", 0.2),
+                    ks_threshold=drift_spec.get("ks_threshold", 0.1),
+                )
+                self.response.add_test_to_col(name, "drift_test", res)
+
+    def _resolve_ref_table(self, table: str) -> DataFrame:
+        """Referenced dimension from ``ref_tables``: a DataFrame as-is, a
+        string as a parquet path. A missing entry raises — the exception is
+        recorded as a failing overall_validation table test by
+        read_data_and_validate, the reference's config-error behavior."""
+        if table not in self.ref_tables:
+            raise ValueError(
+                f"column references table {table!r} but no such entry was "
+                f"passed via ref_tables"
+            )
+        entry = self.ref_tables[table]
+        if isinstance(entry, DataFrame):
+            return entry
+        return self.spark.read.parquet(entry)
+
+    def _resolve_baseline(self, col_name: str) -> HistogramProfile:
+        """Baseline profile from ``baseline_profiles``: a HistogramProfile
+        as-is, a string as a JSON document (inline, or a path to one)."""
+        if col_name not in self.baseline_profiles:
+            raise ValueError(
+                f"column {col_name!r} declares a drift check but no baseline "
+                f"profile was passed via baseline_profiles"
+            )
+        entry = self.baseline_profiles[col_name]
+        if isinstance(entry, HistogramProfile):
+            return entry
+        if os.path.exists(entry):
+            with open(entry) as f:
+                entry = f.read()
+        return HistogramProfile.from_json(entry)
 
     def write_violations(self, path: str, fmt: str = "parquet") -> bool:
         """Write EVERY violating row (original columns + __row_id +

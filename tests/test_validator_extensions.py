@@ -1,0 +1,165 @@
+"""SparkValidator wiring for the graft-extension metadata keys:
+``unique`` (declared in the reference's metadata spec but never implemented
+there — reference tests/data/inputs/basic_meta_data.json:13), ``references``
+and ``drift`` (SURVEY.md §2.9). These keys previously executed only through
+the standalone checks modules; the validator must honor them directly so a
+metadata document is the single source of constraint truth."""
+
+import json
+
+import pytest
+
+from data_linter_spark.checks.drift import HistogramProfile, numeric_histogram
+from data_linter_spark.validator import SparkValidator
+
+
+def _validate(df, meta, **kw):
+    v = SparkValidator(df, {}, meta, spark=df.sparkSession, **kw)
+    v.read_data_and_validate()
+    return v
+
+
+def test_unique_test_fail_and_pass(spark):
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "k", "type": "int64", "unique": True}],
+    }
+    dup = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    v = _validate(dup, meta)
+    res = v.get_response_dict()["k"]["unique_test"]
+    assert v.valid is False
+    assert res["valid"] is False
+    assert res["duplicate_keys"] == 1
+    assert res["duplicate_rows"] == 2
+    assert res["percentage_of_column_is_error"] == pytest.approx(50.0)
+    assert res["screen"]["count"] == 4
+
+    uniq = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    v2 = _validate(uniq, meta)
+    assert v2.valid is True
+    assert v2.get_response_dict()["k"]["unique_test"]["valid"] is True
+
+
+def test_unique_nulls_ignored(spark):
+    """Null keys are the nullable test's business, not duplicates."""
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "k", "type": "int64", "unique": True}],
+    }
+    df = spark.createDataFrame([(1,), (None,), (None,)], "k long")
+    assert _validate(df, meta).valid is True
+
+
+def test_unique_screen_only_mode(spark):
+    """screen_only skips the exact pass: massive dup volume is flagged by
+    the HLL screen alone; a near-unique column passes the screen."""
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "k", "type": "int64", "unique": True}],
+    }
+    heavy_dup = spark.range(2000).selectExpr("CAST(id % 10 AS LONG) AS k")
+    v = _validate(heavy_dup, meta, unique_screen_only=True)
+    res = v.get_response_dict()["k"]["unique_test"]
+    assert res["valid"] is False
+    assert res["screen"]["verdict"] == "dups_certain"
+    assert "duplicate_keys" not in res  # exact pass skipped
+
+
+def test_referential_test_via_ref_tables(spark, tmp_path):
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+        ],
+    }
+    dim = spark.createDataFrame([(1,), (2,)], "id long")
+    fact_ok = spark.createDataFrame([(1,), (2,), (None,)], "fk long")
+    v = _validate(fact_ok, meta, ref_tables={"dim": dim})
+    assert v.valid is True
+
+    fact_bad = spark.createDataFrame([(1,), (9,), (9,), (2,)], "fk long")
+    v2 = _validate(fact_bad, meta, ref_tables={"dim": dim})
+    res = v2.get_response_dict()["fk"]["referential_test"]
+    assert v2.valid is False and res["valid"] is False
+    assert res["violation_rows"] == 2
+    assert res["percentage_of_column_is_error"] == pytest.approx(50.0)
+    assert res["test_inputs"]["references"] == {"table": "dim", "column": "id"}
+
+    # path form: the dim resolved from a parquet path
+    p = str(tmp_path / "dim.parquet")
+    dim.write.parquet(p)
+    v3 = _validate(fact_bad, meta, ref_tables={"dim": p})
+    assert v3.valid is False
+
+
+def test_referential_missing_ref_table_is_overall_failure(spark):
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+        ],
+    }
+    df = spark.createDataFrame([(1,)], "fk long")
+    v = _validate(df, meta)  # no ref_tables
+    assert v.valid is False
+    tb = v.get_response_dict()["overall_validation"]["traceback"]
+    assert "ref_tables" in tb
+
+
+def test_drift_test_against_baseline(spark, tmp_path):
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "x", "type": "float64",
+             "drift": {"psi_threshold": 0.2, "ks_threshold": 0.1}},
+        ],
+    }
+    base_df = spark.range(4000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    baseline = numeric_histogram(base_df, "x", 0.0, 100.0, 20)
+
+    # same distribution: no drift
+    v = _validate(base_df, meta, baseline_profiles={"x": baseline})
+    res = v.get_response_dict()["x"]["drift_test"]
+    assert v.valid is True and res["valid"] is True
+    assert res["psi"] == pytest.approx(0.0, abs=1e-9)
+
+    # shifted distribution: drift flagged; baseline accepted as JSON path too
+    p = tmp_path / "baseline.json"
+    p.write_text(baseline.to_json())
+    shifted = spark.range(4000).selectExpr(
+        "CAST(50 + (id % 50) AS DOUBLE) AS x"
+    )
+    v2 = _validate(shifted, meta, baseline_profiles={"x": str(p)})
+    res2 = v2.get_response_dict()["x"]["drift_test"]
+    assert v2.valid is False and res2["valid"] is False
+    assert res2["psi"] > 0.2 or res2["ks"] > 0.1
+
+
+def test_extensions_compose_with_core_suite_in_one_pass(spark):
+    """unique + core constraints share the single aggregation pass, and
+    get_names_of_column_failures sees extension tests like any other."""
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "k", "type": "int64", "unique": True, "minimum": 0},
+            {"name": "s", "type": "string", "enum": ["a", "b"]},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (-5, "z")], "k long, s string"
+    )
+    v = _validate(df, meta)
+    r = v.get_response_dict()
+    assert r["k"]["min_max_test"]["valid"] is False
+    assert r["k"]["unique_test"]["valid"] is False
+    assert r["s"]["enum_test"]["valid"] is False
+    assert v.response.get_names_of_column_failures(["unique_test"]) == ["k"]
+    assert sorted(v.response.get_names_of_column_failures()) == ["k", "s"]
+
+
+def test_baseline_profile_json_roundtrip():
+    h = HistogramProfile(0.0, 10.0, 4, [1.0, 2.0, 3.0, 4.0])
+    assert HistogramProfile.from_json(h.to_json()).__dict__ == h.__dict__
+    assert json.loads(h.to_json())["n_bins"] == 4
