@@ -163,3 +163,45 @@ def test_baseline_profile_json_roundtrip():
     h = HistogramProfile(0.0, 10.0, 4, [1.0, 2.0, 3.0, 4.0])
     assert HistogramProfile.from_json(h.to_json()).__dict__ == h.__dict__
     assert json.loads(h.to_json())["n_bins"] == 4
+
+
+def test_run_validation_config_driven_referential(spark, tmp_path):
+    """Lifecycle wiring: validator-engine-params carries ref_tables (paths)
+    through the runner, so a config + metadata alone turn on referential
+    checks — the failing file routes to the fail path."""
+    import json
+
+    from data_linter_spark.runner import run_validation
+
+    dim_path = str(tmp_path / "dim.parquet")
+    spark.createDataFrame([(10,), (11,)], "id long").write.parquet(dim_path)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "t1_bad.csv").write_text("fk\n10\n99\n")
+    meta = {
+        "name": "t1", "file_format": "csv",
+        "columns": [
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+        ],
+    }
+    mp = tmp_path / "t1.json"
+    mp.write_text(json.dumps(meta))
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir()
+    config = {
+        "land-base-path": str(land),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "validator-engine-params": {"ref_tables": {"dim": dim_path}},
+        "tables": {
+            "t1": {"metadata": str(mp), "expect-header": True},
+        },
+    }
+    status = run_validation(config, spark=spark)
+    assert status["all_tables_passed"] is False
+    resp = status["responses"][0]
+    assert resp["response"]["fk"]["referential_test"]["valid"] is False
+    assert "/fail/" in resp["archived-path"]
