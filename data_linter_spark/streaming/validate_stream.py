@@ -98,6 +98,78 @@ def stream_windowed_verdicts(
     )
 
 
+def stream_windowed_drift(
+    df: DataFrame,
+    col_name: str,
+    baseline: "HistogramProfile",
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = "10 minutes",
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-window distribution drift vs a stored baseline profile — the
+    streaming analogue of the batch drift check (checks/drift.py).
+
+    Stream-safe by construction: ONE stateful aggregation. The fixed-bin
+    histogram becomes ``n_bins`` conditional-sum counters inside a single
+    ``groupBy(window(ts))`` (no second aggregation, which append-mode
+    streams would reject), and the PSI/KS statistics are pure projections
+    over those counter columns against DRIVER-CONSTANT baseline
+    probabilities — the whole post-agg computation is codegen'd expressions,
+    no Python. Emits ``(window_start, window_end, n_rows, psi, ks,
+    drift_valid)`` per closed window. Works identically on a batch frame
+    (``window()`` is not streaming-specific), which is how the tests
+    cross-check stream output against the batch psi()/ks_statistic()."""
+    import math
+
+    from data_linter_spark.checks.drift import EPS, _bucket_expr
+
+    n_bins = baseline.n_bins
+    p = baseline.probs()
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    bucket = _bucket_expr(F.col(col_name), baseline.lo, baseline.hi, n_bins)
+    counters = [
+        F.sum(
+            F.when(F.col(col_name).isNotNull() & (bucket == i), 1).otherwise(0)
+        ).alias(f"__bin{i}")
+        for i in range(n_bins)
+    ]
+    agg = src.groupBy(F.window(F.col(ts_col), window_duration)).agg(
+        F.count(F.lit(1)).alias("n_rows"), *counters
+    )
+    total = sum(F.col(f"__bin{i}") for i in range(n_bins))
+    total_nz = F.greatest(total, F.lit(1)).cast("double")
+    q = [F.col(f"__bin{i}") / total_nz for i in range(n_bins)]
+    psi_expr = sum(
+        (q[i] - F.lit(p[i]))
+        * F.log((q[i] + F.lit(EPS)) / F.lit(p[i] + EPS))
+        for i in range(n_bins)
+    )
+    cum_p = 0.0
+    cum_q = F.lit(0.0)
+    ks_terms = []
+    for i in range(n_bins):
+        cum_p += p[i]
+        cum_q = cum_q + q[i]
+        ks_terms.append(F.abs(cum_q - F.lit(cum_p)))
+    ks_expr = F.greatest(*ks_terms) if len(ks_terms) > 1 else ks_terms[0]
+    assert math.isfinite(sum(p))  # malformed baseline fails fast, driver-side
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("n_rows"),
+        psi_expr.alias("psi"),
+        ks_expr.alias("ks"),
+        (
+            (psi_expr <= F.lit(psi_threshold))
+            & (ks_expr <= F.lit(ks_threshold))
+        ).alias("drift_valid"),
+    )
+
+
 def stream_duplicate_counts(
     df: DataFrame,
     key_col: str,

@@ -192,3 +192,60 @@ def test_stream_duplicate_counts_batch_parity(spark):
     exact_dups = 20 - df.select("doc_id").distinct().count()
     assert sum(r["dup_rows"] for r in rows) == exact_dups
     assert sum(r["batch_rows"] for r in rows) == 20
+
+
+def test_stream_windowed_drift_matches_batch_statistics(spark, tmp_path):
+    """Windowed streaming PSI/KS vs baseline, cross-checked bit-for-bit
+    against the batch drift implementation on each window's rows."""
+    from data_linter_spark.checks.drift import (
+        ks_statistic,
+        numeric_histogram,
+    )
+    from data_linter_spark.checks.drift import psi as psi_stat
+    from data_linter_spark.streaming import stream_windowed_drift
+
+    # hour 0 follows the baseline distribution; hour 1 is shifted hard
+    rows = []
+    for i in range(400):
+        rows.append((f"2024-01-01 00:{i % 60:02d}:{i % 50:02d}", float(i % 100)))
+    for i in range(400):
+        rows.append(
+            (f"2024-01-01 01:{i % 60:02d}:{i % 50:02d}", 80.0 + (i % 20))
+        )
+    batch = spark.createDataFrame(rows, "ts_s string, x double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "x"
+    )
+    path = str(tmp_path / "drift_in")
+    batch.coalesce(1).write.parquet(path)
+
+    base_df = spark.range(4000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    baseline = numeric_histogram(base_df, "x", 0.0, 100.0, 20)
+
+    sdf = spark.readStream.schema(batch.schema).parquet(path)
+    out = stream_windowed_drift(sdf, "x", baseline, "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("drift_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): r
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    assert len(got) == 2
+    h0 = got["2024-01-01T00:00:00"]
+    h1 = got["2024-01-01T01:00:00"]
+    assert h0["n_rows"] == 400 and h1["n_rows"] == 400
+    assert h0["drift_valid"] is True       # same distribution as baseline
+    assert h1["drift_valid"] is False      # shifted: drift flagged
+
+    # exact cross-check: per-window stats equal the batch implementation's
+    for start, rec in [("2024-01-01 00:00:00", h0), ("2024-01-01 01:00:00", h1)]:
+        win = batch.filter(
+            F.col("ts") >= F.lit(start).cast("timestamp")
+        ).filter(
+            F.col("ts") < F.expr(f"timestamp'{start}' + interval 1 hour")
+        )
+        cur = numeric_histogram(win, "x", 0.0, 100.0, 20)
+        assert rec["psi"] == pytest.approx(psi_stat(baseline, cur), rel=1e-9)
+        assert rec["ks"] == pytest.approx(ks_statistic(baseline, cur), rel=1e-9)
