@@ -143,12 +143,57 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# ORC: typed-on-read source beyond the reference's three formats (Spark-native
+# classpath, no external jar) — same alignment path as parquet
+# ---------------------------------------------------------------------------
+
+ORC_META = {
+    "name": "events_orc",
+    "file_format": "orc",
+    "columns": [
+        {"name": "event_id", "type": "int64", "type_category": "integer",
+         "nullable": False},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "float64", "type_category": "float"},
+    ],
+}
+
+
+def q_read_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC on disk -> engine ORC reader -> alignment (surplus
+    column dropped via allow-unexpected-data). ORC is typed like parquet, so
+    the value hash vs the parquet oracle proves the round trip is lossless
+    including doubles."""
+    path = _roundtrip_dir(sf_dir, "events_orc")
+
+    def write(p: str) -> None:
+        src = spark.read.parquet(f"{sf_dir}/events.parquet")
+        src.select("event_id", "event_type", "value").withColumn(
+            "extra_col", F.lit(1)
+        ).coalesce(4).write.mode("overwrite").orc(p)
+
+    _ensure(path, write)
+    meta = Metadata(ORC_META)
+    params = {"allow-unexpected-data": True}
+    df = read_file(spark, path, params, meta)
+    aligned, meta, _ = parse_data_to_spark(spark, path, params, meta, df=df)
+    return aligned.select("event_id", "event_type", "value")
+
+
+SQL_READ_ORC_EVENTS = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
 IO_QUERIES = {
     "read_csv_lineitem": q_read_csv_lineitem,
     "read_jsonl_documents": q_read_jsonl_documents,
+    "read_orc_events": q_read_orc_events,
 }
 
 IO_ORACLES = {
     "read_csv_lineitem": SQL_READ_CSV_LINEITEM,
     "read_jsonl_documents": SQL_READ_JSONL_DOCUMENTS,
+    "read_orc_events": SQL_READ_ORC_EVENTS,
 }

@@ -121,6 +121,11 @@ def read_file(
         df = spark.read.json(filepath)
     elif fmt in ("parquet", "snappy.parquet"):
         df = spark.read.parquet(filepath)
+    elif fmt == "orc":
+        # beyond the reference's csv/jsonl/parquet: ORC ships in Spark's own
+        # classpath and is typed-on-read like parquet, so it flows through
+        # the same alignment/cast path with zero extra handling
+        df = spark.read.orc(filepath)
     else:
         raise ValueError(f"unsupported file_format: {fmt}")
     return df

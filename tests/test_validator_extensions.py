@@ -205,3 +205,22 @@ def test_run_validation_config_driven_referential(spark, tmp_path):
     resp = status["responses"][0]
     assert resp["response"]["fk"]["referential_test"]["valid"] is False
     assert "/fail/" in resp["archived-path"]
+
+
+def test_orc_source_through_validator(spark, tmp_path):
+    """ORC read path: typed-on-read like parquet, full constraint suite."""
+    p = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 500.0)], "k long, v double"
+    ).write.orc(p)
+    meta = {
+        "name": "t", "file_format": "orc",
+        "columns": [
+            {"name": "k", "type": "int64", "nullable": False},
+            {"name": "v", "type": "float64", "minimum": 0.0, "maximum": 100.0},
+        ],
+    }
+    v = SparkValidator(p, {}, meta, spark=spark)
+    v.read_data_and_validate()
+    assert v.valid is False
+    assert v.get_response_dict()["v"]["min_max_test"]["valid"] is False
