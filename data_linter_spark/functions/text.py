@@ -145,3 +145,37 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         content_fingerprint_md5(c).alias("fingerprint"),
     )
+
+
+def corpus_retention_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.75,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed training-corpus filter — quality gate + language gate +
+    exact-dup canonicalization — as ONE flagged projection:
+
+    - ``q_ok``: quality_score >= min_quality
+    - ``lang_ok``: predicted language in ``langs``
+    - ``first_in_group``: this doc is the canonical (lowest-id) member of
+      its normalized-content fingerprint group
+    - a doc is RETAINED iff all three hold
+
+    Scale shape: the gates are pure map-side expressions; canonicalization
+    is one window over the fingerprint (one hash shuffle — the same shuffle
+    the exact-dedup groupBy would need, so composing the three filters costs
+    no extra exchange over dedup alone). Downstream either filters on the
+    conjunction (to materialize the retained corpus) or aggregates the
+    flags (retention accounting per source)."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    w = Window.partitionBy(content_fingerprint_md5(c)).orderBy(F.col(id_col))
+    return df.select(
+        "*",
+        (quality_score(c) >= F.lit(min_quality)).alias("q_ok"),
+        lang_id(c).isin(list(langs)).alias("lang_ok"),
+        (F.row_number().over(w) == 1).alias("first_in_group"),
+    )

@@ -295,7 +295,10 @@ def _sql_occurrences(padded: str, needle: str) -> str:
     )
 
 
-def _sql_text_quality() -> str:
+def _sql_quality_parts() -> dict[str, str]:
+    """The quality-score sub-expressions in DuckDB SQL — single source for
+    every oracle that consumes quality_score (text_quality_by_source,
+    corpus_filter)."""
     padded = "(' ' || lower(text) || ' ')"
     ws = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
@@ -312,6 +315,15 @@ def _sql_text_quality() -> str:
         f" + CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END"
         f" + CASE WHEN {sw_ratio} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END"
         f" + CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0)"
+    )
+    return {"punct": punct, "sw_ratio": sw_ratio, "mwl": mwl,
+            "quality": quality}
+
+
+def _sql_text_quality() -> str:
+    p = _sql_quality_parts()
+    punct, sw_ratio, mwl, quality = (
+        p["punct"], p["sw_ratio"], p["mwl"], p["quality"]
     )
     return f"""
 SELECT source,
@@ -335,7 +347,9 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lang_id() -> str:
+def _sql_lang_case() -> str:
+    """The language-ID CASE expression in DuckDB SQL (shared by the lang_id
+    and corpus_filter oracles)."""
     padded = "(' ' || lower(text) || ' ')"
     score_exprs = {}
     for lang in sorted(tx.LANG_MARKERS):
@@ -350,8 +364,12 @@ def _sql_lang_id() -> str:
         case += (f" WHEN {score_exprs[lang]} = {greatest} "
                  f"AND {greatest} > 0 THEN '{lang}'")
     case += " ELSE 'und' END"
+    return case
+
+
+def _sql_lang_id() -> str:
     return f"""
-SELECT {case} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+SELECT {_sql_lang_case()} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents
 GROUP BY 1
 """
@@ -391,6 +409,69 @@ FROM fp
 """
 
 
+# ---------------------------------------------------------------------------
+# composed corpus filter: quality gate + language gate + exact-dup
+# canonicalization in one pass — per-source retention accounting
+# ---------------------------------------------------------------------------
+
+CF_MIN_QUALITY = 0.75
+CF_LANGS = ("en",)
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = tx.corpus_retention_flags(
+        docs, "doc_id", "text", CF_MIN_QUALITY, CF_LANGS
+    )
+    retained = F.col("q_ok") & F.col("lang_ok") & F.col("first_in_group")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("q_ok"), 1).otherwise(0))
+        .cast("long").alias("n_quality_fail"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0))
+        .cast("long").alias("n_lang_fail"),
+        F.sum(F.when(~F.col("first_in_group"), 1).otherwise(0))
+        .cast("long").alias("n_dup_drop"),
+        F.sum(F.when(retained, 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+        F.round(
+            F.sum(F.when(retained, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 4
+        ).alias("retention_rate"),
+    )
+
+
+def _sql_corpus_filter() -> str:
+    quality = _sql_quality_parts()["quality"]
+    lang_case = _sql_lang_case()
+    langs = ", ".join(f"'{la}'" for la in CF_LANGS)
+    return f"""
+WITH flags AS (
+  SELECT source,
+         ({quality}) >= {CF_MIN_QUALITY} AS q_ok,
+         ({lang_case}) IN ({langs}) AS lang_ok,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+           ORDER BY doc_id) = 1 AS first_in_group
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_fail,
+       CAST(SUM(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_fail,
+       CAST(SUM(CASE WHEN NOT first_in_group THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_drop,
+       CAST(SUM(CASE WHEN q_ok AND lang_ok AND first_in_group
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       ROUND(SUM(CASE WHEN q_ok AND lang_ok AND first_in_group
+           THEN 1.0 ELSE 0.0 END) / count(*), 4) AS retention_rate
+FROM flags
+GROUP BY source
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -399,6 +480,7 @@ DEDUP_QUERIES = {
     "text_quality_by_source": q_text_quality_by_source,
     "lang_id_counts": q_lang_id_counts,
     "fingerprint_documents": q_fingerprint_documents,
+    "corpus_filter": q_corpus_filter,
 }
 
 DEDUP_ORACLES = {
@@ -409,4 +491,5 @@ DEDUP_ORACLES = {
     "text_quality_by_source": SQL_TEXT_QUALITY,
     "lang_id_counts": SQL_LANG_ID,
     "fingerprint_documents": SQL_FINGERPRINT,
+    "corpus_filter": _sql_corpus_filter(),
 }

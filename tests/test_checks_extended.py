@@ -367,3 +367,28 @@ def test_ivf_topk_recall_vs_exact_on_real_embeddings(spark):
     # assert a floor and that SOMETHING was pruned (else IVF is a no-op)
     assert recall >= 0.2
     assert len(approx_set) <= len(exact_set)
+
+
+def test_corpus_retention_flags(spark):
+    from data_linter_spark.functions.text import corpus_retention_flags
+
+    good = ("the cat sat on the mat and it is a fine day to sit on a mat "
+            "with the cat and look at the things that pass by on the road")
+    rows = [
+        (1, good),               # retained
+        (2, good + "!"),         # exact dup of 1 after normalization -> drop
+        (3, "x" * 10),           # fails quality (too short, no stopwords)
+        (4, "der hund ist nicht der beste und die katze ist nicht da "
+            "und der tag ist lang und die nacht ist kurz und der wind"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_retention_flags(
+        df, "doc_id", "text").collect()}
+    retained = {
+        k for k, r in got.items()
+        if r["q_ok"] and r["lang_ok"] and r["first_in_group"]
+    }
+    assert retained == {1}
+    assert got[2]["first_in_group"] is False   # canonicalized to doc 1
+    assert got[3]["q_ok"] is False
+    assert got[4]["lang_ok"] is False          # German markers dominate
