@@ -1,0 +1,72 @@
+"""Sequence-packing accounting for pre-tokenized training data.
+
+Training pipelines pack documents into fixed-length context windows by
+concatenating token streams in a deterministic order and cutting every
+``context_len`` tokens (the GPT-style "concat and chunk" packing). The
+numbers a pipeline needs from the tokens table before launching a run:
+
+- how many context windows the corpus fills (training steps per epoch),
+- how many documents straddle a window boundary (cross-document attention
+  contamination when packing without attention masking),
+- packing efficiency (fraction of the last window's capacity actually used).
+
+All of it derives from ONE window cumulative sum per group — no data
+movement beyond the hash shuffle on the group column. At 10^12 rows a
+single group's window is one sorted task; for a pathologically hot group,
+the standard two-phase form applies (per-input-partition partial sums, then
+a broadcast prefix-offset join) — the accounting below is deliberately the
+simple declarative shape, and the skewed-``source`` story for verdicts
+(salted_grouped_verdict_df) does not apply here because packing REQUIRES a
+total order within the group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def packing_stats(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_tok_col: str,
+    context_len: int = 2048,
+) -> DataFrame:
+    """Per-group packing accounting for concat-and-chunk packing in
+    ``order_col`` order: ``(group, n_docs, total_tokens, n_windows,
+    n_boundary_docs, boundary_rate, packing_efficiency)``.
+
+    A document straddles a boundary when its first and last token land in
+    different windows: floor(start/L) != floor((start + n_tok - 1)/L)."""
+    L = F.lit(context_len).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum_end = F.sum(F.col(n_tok_col).cast("long")).over(w)
+    start = cum_end - F.col(n_tok_col)
+    crosses = (
+        (F.col(n_tok_col) > 0)
+        & (F.floor(start / L) != F.floor((cum_end - 1) / L))
+    )
+    flagged = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(n_tok_col).cast("long").alias("__n_tok"),
+        crosses.alias("__crosses"),
+    )
+    total = F.sum("__n_tok")
+    n_windows = F.ceil(total / L).cast("long")
+    return flagged.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        n_windows.alias("n_windows"),
+        F.sum(F.when(F.col("__crosses"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boundary_docs"),
+        F.round(
+            F.sum(F.when(F.col("__crosses"), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("boundary_rate"),
+        F.round(total / (n_windows * L).cast("double"), 4).alias(
+            "packing_efficiency"
+        ),
+    )

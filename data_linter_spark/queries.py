@@ -500,6 +500,56 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# 2c. sequence-packing accounting over the tokens table (GPT-style
+#     concat-and-chunk): windows per source, boundary-straddling docs,
+#     packing efficiency — the pre-launch numbers of a training run
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT_LEN = 2048
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.packing import packing_stats
+
+    toks = tokens_from_documents(spark, sf_dir)
+    return packing_stats(
+        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN
+    )
+
+
+SQL_PACKING_STATS = f"""
+WITH {{TOKENS_CTE}},
+c AS (
+  SELECT source, n_tok,
+         SUM(CAST(n_tok AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+  FROM tokens_tbl
+),
+f AS (
+  SELECT source, n_tok,
+         (n_tok > 0 AND
+          CAST(floor((cum_end - n_tok) / {PACK_CONTEXT_LEN}.0) AS BIGINT)
+          <> CAST(floor((cum_end - 1) / {PACK_CONTEXT_LEN}.0) AS BIGINT))
+             AS crosses
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(CEIL(SUM(n_tok) / {PACK_CONTEXT_LEN}.0) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundary_docs,
+       ROUND(SUM(CASE WHEN crosses THEN 1.0 ELSE 0.0 END) / count(*), 4)
+           AS boundary_rate,
+       ROUND(SUM(n_tok) /
+             (CAST(CEIL(SUM(n_tok) / {PACK_CONTEXT_LEN}.0) AS BIGINT)
+              * {PACK_CONTEXT_LEN}.0), 4) AS packing_efficiency
+FROM f
+GROUP BY source
+""".replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -822,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_histogram": q_token_histogram,
         "events_hourly_verdicts": q_events_hourly_verdicts,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -839,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
         "suite_tokens_invariants": SQL_SUITE_TOKENS_INVARIANTS,
+        "packing_stats": SQL_PACKING_STATS,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

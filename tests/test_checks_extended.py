@@ -392,3 +392,26 @@ def test_corpus_retention_flags(spark):
     assert got[2]["first_in_group"] is False   # canonicalized to doc 1
     assert got[3]["q_ok"] is False
     assert got[4]["lang_ok"] is False          # German markers dominate
+
+
+def test_packing_stats_hand_computed(spark):
+    """L=10; docs in order: 4, 8, 6, 2 tokens -> cum [4,12,18,20].
+    doc2 spans tokens 4..11 (windows 0,1): crosses. doc3 spans 12..17
+    (window 1): no. total=20 -> 2 windows, efficiency 1.0."""
+    from data_linter_spark.functions.packing import packing_stats
+
+    df = spark.createDataFrame(
+        [("a", "d1", 4), ("a", "d2", 8), ("a", "d3", 6), ("a", "d4", 2),
+         ("b", "d1", 25)],
+        "src string, doc_id string, n_tok int",
+    )
+    got = {r["src"]: r for r in packing_stats(
+        df, "src", "doc_id", "n_tok", context_len=10).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["total_tokens"], a["n_windows"]) == (4, 20, 2)
+    assert a["n_boundary_docs"] == 1 and a["boundary_rate"] == 0.25
+    assert a["packing_efficiency"] == 1.0
+    b = got["b"]
+    # one 25-token doc: 3 windows, crosses twice but counted once as doc
+    assert (b["n_windows"], b["n_boundary_docs"]) == (3, 1)
+    assert b["packing_efficiency"] == round(25 / 30, 4)
