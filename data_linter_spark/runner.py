@@ -127,12 +127,20 @@ def match_files_in_land_to_config(
 
 def validate_data(config: dict, spark: SparkSession) -> list[dict]:
     """One validator run per matched file; per-file response records
-    (reference validation.py:390-447)."""
+    (reference validation.py:390-447).
+
+    ``run-parallel: true`` (the reference's switch into its para_* process
+    pool, validation.py:652-775) translates Spark-natively to CONCURRENT
+    job submission from driver threads: each file's validation is its own
+    Spark job, and submitting them from a small thread pool lets the
+    scheduler overlap many small files' jobs across otherwise-idle
+    executors. Results are collected in input order, so routing (which
+    uses the record index as filenum) is identical either way."""
     engine = config.get("validator-engine", "spark")
     engine_params = config.get("validator-engine-params", {})
     validator_cls = GET_VALIDATOR[engine]
 
-    responses = []
+    tasks: list[tuple[str, dict, Metadata, str]] = []
     for table_name, table_params in config["tables"].items():
         if not table_params.get("matched_files"):
             continue  # divergence (documented): skip, don't abort the run
@@ -140,35 +148,45 @@ def validate_data(config: dict, spark: SparkSession) -> list[dict]:
         metadata = Metadata.from_infer(meta_path)
         metadata.set_col_type_category_from_types()
         for matched_file in table_params["matched_files"]:
-            kwargs = dict(engine_params)
-            if validator_cls is SparkValidator:
-                kwargs.setdefault("log_verbosity", None)
-            validator = validator_cls(
-                matched_file, table_params, metadata.to_dict(), spark=spark,
-                **kwargs,
-            )
-            validator.read_data_and_validate()
-            rec = {
-                "valid": validator.valid,
-                "response": validator.get_response_dict(),
-                "original-path": matched_file,
-                "table-name": table_name,
-            }
-            viol_base = config.get("violations-base-path")
-            if (
-                viol_base
-                and not validator.valid
-                and isinstance(validator, SparkValidator)
-            ):
-                # full violation set to a distributed sink (never the
-                # driver) — graft replacement for the reference's
-                # collect-all log_verbosity==0
-                stem = os.path.basename(matched_file).split(".", 1)[0]
-                out = os.path.join(viol_base, table_name, stem)
-                if validator.write_violations(out):
-                    rec["violations-path"] = out
-            responses.append(rec)
-    return responses
+            tasks.append((table_name, table_params, metadata, matched_file))
+
+    def _run_one(task: tuple[str, dict, Metadata, str]) -> dict:
+        table_name, table_params, metadata, matched_file = task
+        kwargs = dict(engine_params)
+        if validator_cls is SparkValidator:
+            kwargs.setdefault("log_verbosity", None)
+        validator = validator_cls(
+            matched_file, table_params, metadata.to_dict(), spark=spark,
+            **kwargs,
+        )
+        validator.read_data_and_validate()
+        rec = {
+            "valid": validator.valid,
+            "response": validator.get_response_dict(),
+            "original-path": matched_file,
+            "table-name": table_name,
+        }
+        viol_base = config.get("violations-base-path")
+        if (
+            viol_base
+            and not validator.valid
+            and isinstance(validator, SparkValidator)
+        ):
+            # full violation set to a distributed sink (never the
+            # driver) — graft replacement for the reference's
+            # collect-all log_verbosity==0
+            stem = os.path.basename(matched_file).split(".", 1)[0]
+            out = os.path.join(viol_base, table_name, stem)
+            if validator.write_violations(out):
+                rec["violations-path"] = out
+        return rec
+
+    if config.get("run-parallel") and len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
+            return list(pool.map(_run_one, tasks))
+    return [_run_one(t) for t in tasks]
 
 
 def get_out_path(

@@ -538,3 +538,38 @@ def test_get_names_of_column_failures(tmp_path, spark):
     assert v.response.get_names_of_column_failures(["min_max_test"]) == ["a"]
     assert v.response.get_names_of_column_failures(["nullable_test"]) == ["c"]
     assert v.response.get_names_of_column_failures(["enum_test"]) == []
+
+
+def test_run_parallel_concurrent_submission(spark, tmp_path):
+    """run-parallel: true validates files from concurrent driver threads;
+    results (order, verdicts, routing) are identical to sequential."""
+    land = tmp_path / "land"
+    land.mkdir()
+    metas = {}
+    for i in range(4):
+        name = f"t{i}"
+        (land / f"{name}_file.csv").write_text(
+            "my_int,my_string\n5,a\n" if i % 2 == 0 else "my_int,my_string\n-9,b\n"
+        )
+        mp = tmp_path / f"{name}.json"
+        mp.write_text(json.dumps({**META_T1, "name": name}))
+        metas[name] = str(mp)
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir()
+    base = {
+        "land-base-path": str(land),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": {n: {"metadata": p, "expect-header": True}
+                   for n, p in metas.items()},
+    }
+    from data_linter_spark.runner import match_files_in_land_to_config, validate_data
+
+    seq = validate_data(match_files_in_land_to_config(dict(base)), spark)
+    par = validate_data(
+        match_files_in_land_to_config({**base, "run-parallel": True}), spark
+    )
+    assert [r["original-path"] for r in par] == [r["original-path"] for r in seq]
+    assert [r["valid"] for r in par] == [r["valid"] for r in seq]
+    assert [r["valid"] for r in par] == [True, False, True, False]
