@@ -1,0 +1,68 @@
+"""Column profiling — the deequ/great-expectations-style profiler side of a
+validation engine (the reference validates against DECLARED constraints;
+profiling produces the numbers you declare constraints FROM, and the
+baselines the drift check consumes).
+
+ONE fused aggregation pass computes every requested column's metrics
+(count/nulls/completeness, exact distinct, min/max/mean/stddev/median);
+the per-column metric rows are then unpivoted from the single result row
+with one ``explode`` projection — no second scan, no shuffle beyond the
+aggregation's own partial/final exchange. Exact distinct counts use
+Spark's Expand-based multi-DISTINCT aggregation (one expand per distinct
+column set); for quick screens at extreme scale swap in
+``approx_count_distinct`` via ``exact_distinct=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def numeric_profile(
+    df: DataFrame,
+    cols: list[str],
+    round_to: int = 6,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column numeric profile: ``(column, n_rows, n_nulls, completeness,
+    n_distinct, min, max, mean, stddev, median)`` — one row per requested
+    column, all metrics from a single aggregation pass. ``stddev`` is the
+    sample standard deviation; ``median`` linearly interpolates (both match
+    ANSI engines for the oracle)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c).cast("double")
+        distinct = (
+            F.countDistinct(col) if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls__{c}"),
+            distinct.alias(f"__dist__{c}"),
+            F.min(col).alias(f"__min__{c}"),
+            F.max(col).alias(f"__max__{c}"),
+            F.avg(col).alias(f"__mean__{c}"),
+            F.stddev_samp(col).alias(f"__std__{c}"),
+            F.percentile(col, F.lit(0.5)).alias(f"__med__{c}"),
+        ]
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("long")
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            n.alias("n_rows"),
+            F.col(f"__nulls__{c}").cast("long").alias("n_nulls"),
+            F.round((n - F.col(f"__nulls__{c}")) / n, round_to).alias(
+                "completeness"
+            ),
+            F.col(f"__dist__{c}").cast("long").alias("n_distinct"),
+            F.round(F.col(f"__min__{c}"), round_to).alias("min"),
+            F.round(F.col(f"__max__{c}"), round_to).alias("max"),
+            F.round(F.col(f"__mean__{c}"), round_to).alias("mean"),
+            F.round(F.col(f"__std__{c}"), round_to).alias("stddev"),
+            F.round(F.col(f"__med__{c}"), round_to).alias("median"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")

@@ -550,6 +550,40 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# 2d. column profiling (deequ-style): the numbers constraints are declared
+#     FROM — one fused pass for every column's metrics
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["event_id", "user_id", "value"]
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.profile import numeric_profile
+
+    return numeric_profile(_read(spark, sf_dir, "events"), PROFILE_COLS)
+
+
+def _sql_profile_events() -> str:
+    branches = []
+    for c in PROFILE_COLS:
+        branches.append(f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       ROUND((count(*) - SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))
+             / count(*), 6) AS completeness,
+       CAST(count(DISTINCT CAST({c} AS DOUBLE)) AS BIGINT) AS n_distinct,
+       ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min,
+       ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max,
+       ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean,
+       ROUND(STDDEV_SAMP(CAST({c} AS DOUBLE)), 6) AS stddev,
+       ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.5), 6) AS median
+FROM events""")
+    return "\nUNION ALL\n".join(branches)
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -873,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "events_hourly_verdicts": q_events_hourly_verdicts,
         "packing_stats": q_packing_stats,
+        "profile_events": q_profile_events,
     }
 
 
@@ -891,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "suite_tokens": SQL_SUITE_TOKENS,
         "suite_tokens_invariants": SQL_SUITE_TOKENS_INVARIANTS,
         "packing_stats": SQL_PACKING_STATS,
+        "profile_events": _sql_profile_events(),
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

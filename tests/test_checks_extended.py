@@ -415,3 +415,18 @@ def test_packing_stats_hand_computed(spark):
     # one 25-token doc: 3 windows, crosses twice but counted once as doc
     assert (b["n_windows"], b["n_boundary_docs"]) == (3, 1)
     assert b["packing_efficiency"] == round(25 / 30, 4)
+
+
+def test_numeric_profile_hand_computed(spark):
+    from data_linter_spark.checks.profile import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (None,)], "x double"
+    )
+    p = {r["column"]: r for r in numeric_profile(df, ["x"]).collect()}["x"]
+    assert (p["n_rows"], p["n_nulls"], p["n_distinct"]) == (4, 1, 2)
+    assert p["completeness"] == 0.75
+    assert (p["min"], p["max"]) == (1.0, 2.0)
+    assert p["mean"] == round(5.0 / 3, 6)
+    assert p["median"] == 2.0            # interpolated over [1,2,2]
+    assert p["stddev"] == round((1.0 / 3) ** 0.5, 6)
