@@ -66,3 +66,30 @@ def numeric_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")
+
+
+def top_values(df: DataFrame, col_name: str, k: int = 10) -> DataFrame:
+    """Exact top-k heavy hitters of a column: ``(value, cnt, rk)`` with a
+    deterministic tiebreak (count desc, value asc) — the enum-discovery
+    companion to the profiler (declare an enum constraint FROM the observed
+    head of the distribution).
+
+    Scale shape: the groupBy count is the only full-data shuffle (map-side
+    partial counts); the ranking window then runs over the already-
+    aggregated distinct-value relation, which for enum-shaped columns is
+    tiny. For truly high-cardinality columns the count relation is still
+    |distinct| rows — cap upstream with a WHERE or use approximate heavy
+    hitters when |distinct| itself is web-scale."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(col_name).isNotNull())
+        .groupBy(F.col(col_name).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("value", "cnt", F.col("rk").cast("int").alias("rk"))
+    )

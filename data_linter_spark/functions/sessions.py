@@ -1,0 +1,65 @@
+"""Gap-based sessionization over an event stream — the standard
+user-behavior primitive an events pipeline needs (a "session" is a maximal
+run of a user's events with no gap exceeding the timeout).
+
+One window pass per user: ``lag`` marks session starts (first event or
+gap > timeout), a running sum of start-markers numbers the sessions. The
+only shuffle is the hash partition on the user column; ordering ties are
+broken by a secondary key so the assignment is deterministic and
+reproducible by an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Append ``session_idx`` (1-based per user) and ``session_id``
+    (``user-idx``). An event starts a new session when it is the user's
+    first or arrives more than ``gap_seconds`` after the previous event."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(order_tiebreak_col)
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_seconds), 1
+    ).otherwise(0)
+    sess_idx = F.sum(new_session).over(w)
+    return df.withColumn("session_idx", sess_idx.cast("long")).withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"),
+                    F.col("session_idx").cast("string")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Corpus-level sessionization summary: ``(n_users, n_events,
+    n_sessions, avg_events_per_session, max_session_events)``."""
+    s = sessionize(df, user_col, ts_col, order_tiebreak_col, gap_seconds)
+    per_session = s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return per_session.agg(
+        F.countDistinct(user_col).alias("n_users"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.sum("__n") / F.count(F.lit(1)), 4).alias(
+            "avg_events_per_session"
+        ),
+        F.max("__n").cast("long").alias("max_session_events"),
+    )

@@ -584,6 +584,76 @@ FROM events""")
 
 
 # ---------------------------------------------------------------------------
+# 2e. heavy hitters (enum discovery) + gap-based sessionization over events
+# ---------------------------------------------------------------------------
+
+TOPV_K = 10
+SESSION_GAP_S = 1800
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.profile import top_values
+
+    return top_values(_read(spark, sf_dir, "events"), "user_id", TOPV_K)
+
+
+SQL_TOP_USERS = f"""
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT value, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, value) AS rk
+  FROM c
+)
+SELECT value, cnt, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= {TOPV_K}
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.sessions import session_stats
+
+    return session_stats(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        SESSION_GAP_S,
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session,
+         ts, event_id
+  FROM o
+),
+s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_idx
+  FROM m
+),
+per AS (
+  SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(n) / count(*), 4) AS avg_events_per_session,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -908,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_verdicts": q_events_hourly_verdicts,
         "packing_stats": q_packing_stats,
         "profile_events": q_profile_events,
+        "top_users": q_top_users,
+        "session_stats": q_session_stats,
     }
 
 
@@ -927,6 +999,8 @@ def oracle_sql() -> dict[str, str]:
         "suite_tokens_invariants": SQL_SUITE_TOKENS_INVARIANTS,
         "packing_stats": SQL_PACKING_STATS,
         "profile_events": _sql_profile_events(),
+        "top_users": SQL_TOP_USERS,
+        "session_stats": SQL_SESSION_STATS,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

@@ -430,3 +430,28 @@ def test_numeric_profile_hand_computed(spark):
     assert p["mean"] == round(5.0 / 3, 6)
     assert p["median"] == 2.0            # interpolated over [1,2,2]
     assert p["stddev"] == round((1.0 / 3) ** 0.5, 6)
+
+
+def test_sessionize_hand_computed(spark):
+    from data_linter_spark.functions.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:10:00", 2),   # same session (gap 10m)
+        (1, "2024-01-01 01:00:00", 3),   # new session (gap 50m > 30m)
+        (2, "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    got = {r["event_id"]: r for r in sessionize(
+        df, "user_id", "ts", "event_id").collect()}
+    assert [got[i]["session_idx"] for i in (1, 2, 3, 4)] == [1, 1, 2, 1]
+    assert got[3]["session_id"] == "1-2"
+
+    s = session_stats(df, "user_id", "ts", "event_id").collect()[0]
+    assert (s["n_users"], s["n_events"], s["n_sessions"]) == (2, 4, 3)
+    assert s["max_session_events"] == 2
