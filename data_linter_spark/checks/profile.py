@@ -93,3 +93,80 @@ def top_values(df: DataFrame, col_name: str, k: int = 10) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("value", "cnt", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def string_profile(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """Per-column string profile: ``(column, n_rows, n_nulls, completeness,
+    n_distinct, n_empty, min_len, max_len, avg_len)`` — the string companion
+    to :func:`numeric_profile`, same single-pass + explode shape."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c).cast("string")
+        ln = F.length(col)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls__{c}"),
+            F.countDistinct(col).alias(f"__dist__{c}"),
+            F.sum(F.when(col == "", 1).otherwise(0)).alias(f"__empty__{c}"),
+            F.min(ln).alias(f"__minl__{c}"),
+            F.max(ln).alias(f"__maxl__{c}"),
+            F.avg(ln).alias(f"__avgl__{c}"),
+        ]
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("long")
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            n.alias("n_rows"),
+            F.col(f"__nulls__{c}").cast("long").alias("n_nulls"),
+            F.round((n - F.col(f"__nulls__{c}")) / n, round_to).alias(
+                "completeness"
+            ),
+            F.col(f"__dist__{c}").cast("long").alias("n_distinct"),
+            F.col(f"__empty__{c}").cast("long").alias("n_empty"),
+            F.col(f"__minl__{c}").cast("long").alias("min_len"),
+            F.col(f"__maxl__{c}").cast("long").alias("max_len"),
+            F.round(F.col(f"__avgl__{c}"), round_to).alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")
+
+
+def zscore_outlier_counts(
+    df: DataFrame, cols: list[str], z: float = 3.0
+) -> DataFrame:
+    """Per-column count of rows beyond ``z`` sample standard deviations from
+    the mean — the cheap anomaly screen a profile enables. TWO passes by
+    necessity (the mean/std must exist before the distance filter), but both
+    are single fused aggregations and the first pass's one-row result is a
+    literal in the second plan (no join, no broadcast)."""
+    stats = df.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"__m__{c}") for c in cols],
+        *[F.stddev_samp(F.col(c).cast("double")).alias(f"__s__{c}")
+          for c in cols],
+    ).collect()[0]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        m, s = stats[f"__m__{c}"], stats[f"__s__{c}"]
+        col = F.col(c).cast("double")
+        outlier = (
+            F.lit(False) if (s is None or s == 0.0)
+            else (F.abs(col - F.lit(float(m))) > F.lit(float(z * s)))
+        )
+        aggs.append(
+            F.sum(F.when(col.isNotNull() & outlier, 1).otherwise(0)).alias(
+                f"__out__{c}"
+            )
+        )
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__out__{c}").cast("long").alias("n_outliers"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")

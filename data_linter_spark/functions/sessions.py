@@ -63,3 +63,23 @@ def session_stats(
         ),
         F.max("__n").cast("long").alias("max_session_events"),
     )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+) -> DataFrame:
+    """CDC-style dedup: the newest record per key (by ``ts_col``, ties by
+    the tiebreak column descending — latest writer wins deterministically).
+    One window over the key's hash partition; at scale this is the standard
+    compaction step before validating a mutable upstream's snapshot."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(order_tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -654,6 +654,82 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# 2f. string profile + z-score outlier screen + CDC latest-per-key dedup
+# ---------------------------------------------------------------------------
+
+STR_PROFILE_COLS = ["event_type", "props"]
+OUTLIER_COLS = ["value"]
+OUTLIER_Z = 3.0
+
+
+def q_string_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.profile import string_profile
+
+    return string_profile(_read(spark, sf_dir, "events"), STR_PROFILE_COLS)
+
+
+def _sql_string_profile() -> str:
+    branches = []
+    for c in STR_PROFILE_COLS:
+        branches.append(f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       ROUND((count(*) - SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))
+             / count(*), 6) AS completeness,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(MIN(length({c})) AS BIGINT) AS min_len,
+       CAST(MAX(length({c})) AS BIGINT) AS max_len,
+       ROUND(AVG(length({c})), 6) AS avg_len
+FROM events""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def q_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.profile import zscore_outlier_counts
+
+    return zscore_outlier_counts(
+        _read(spark, sf_dir, "events"), OUTLIER_COLS, OUTLIER_Z
+    )
+
+
+def _sql_outliers() -> str:
+    branches = []
+    for c in OUTLIER_COLS:
+        branches.append(f"""
+SELECT '{c}' AS "column",
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NOT NULL AND s.sd IS NOT NULL AND s.sd <> 0
+                      AND ABS({c} - s.m) > {OUTLIER_Z} * s.sd
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events,
+     (SELECT AVG(CAST({c} AS DOUBLE)) AS m,
+             STDDEV_SAMP(CAST({c} AS DOUBLE)) AS sd FROM events) s""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def q_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.sessions import latest_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = latest_per_key(ev, "user_id", "ts", "event_id")
+    return out.select("user_id", "event_id", "event_type")
+
+
+SQL_LATEST_EVENTS_PER_USER = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -980,6 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "top_users": q_top_users,
         "session_stats": q_session_stats,
+        "string_profile_events": q_string_profile_events,
+        "outliers_events": q_outliers_events,
+        "latest_events_per_user": q_latest_events_per_user,
     }
 
 
@@ -1001,6 +1080,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": _sql_profile_events(),
         "top_users": SQL_TOP_USERS,
         "session_stats": SQL_SESSION_STATS,
+        "string_profile_events": _sql_string_profile(),
+        "outliers_events": _sql_outliers(),
+        "latest_events_per_user": SQL_LATEST_EVENTS_PER_USER,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

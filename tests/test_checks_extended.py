@@ -455,3 +455,33 @@ def test_sessionize_hand_computed(spark):
     s = session_stats(df, "user_id", "ts", "event_id").collect()[0]
     assert (s["n_users"], s["n_events"], s["n_sessions"]) == (2, 4, 3)
     assert s["max_session_events"] == 2
+
+
+def test_string_profile_and_outliers_and_latest(spark):
+    from data_linter_spark.checks.profile import (
+        string_profile,
+        zscore_outlier_counts,
+    )
+    from data_linter_spark.functions.sessions import latest_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("", 1.1), (None, 0.9), ("bbb", 100.0)],
+        "s string, x double",
+    )
+    sp = {r["column"]: r for r in string_profile(df, ["s"]).collect()}["s"]
+    assert (sp["n_nulls"], sp["n_empty"], sp["n_distinct"]) == (1, 1, 3)
+    assert (sp["min_len"], sp["max_len"]) == (0, 3)
+
+    # 100.0 sits ~1.5 sigma out in this tiny set (sigma ~49), so z=1 flags it
+    oc = {r["column"]: r for r in zscore_outlier_counts(
+        df, ["x"], z=1.0).collect()}["x"]
+    assert oc["n_outliers"] == 1
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10), (1, "2024-01-01 01:00:00", 11),
+         (1, "2024-01-01 01:00:00", 12), (2, "2024-01-01 00:00:00", 20)],
+        "k long, ts_s string, eid long",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "eid")
+    latest = {r["k"]: r["eid"] for r in latest_per_key(
+        ev, "k", "ts", "eid").collect()}
+    assert latest == {1: 12, 2: 20}   # ts tie broken by eid desc
