@@ -730,6 +730,75 @@ SELECT user_id, event_id, event_type FROM r WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# 2g. cross-table reconciliation: events vs a deterministically perturbed
+#     copy (planted diffs, deletions, insertions)
+# ---------------------------------------------------------------------------
+
+
+def q_reconcile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile events against a perturbed snapshot: value bumped where
+    event_id % 101 == 0 (diffs), rows dropped where % 97 == 0 (only_a),
+    rows appended beyond max(event_id) (only_b)."""
+    from data_linter_spark.checks.reconcile import reconcile
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    offset = ev.agg(F.max("event_id")).first()[0] + 1
+    b = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 101 == 0, F.col("value") + 1
+            ).otherwise(F.col("value")),
+        )
+        .unionAll(
+            ev.filter(F.col("event_id") % 53 == 0).select(
+                (F.col("event_id") + F.lit(offset)).alias("event_id"),
+                "event_type",
+                "value",
+            )
+        )
+    )
+    return reconcile(ev, b, ["event_id"], ["event_type", "value"])
+
+
+SQL_RECONCILE_EVENTS = """
+WITH a AS (SELECT event_id, event_type, value FROM events),
+b AS (
+  SELECT event_id,
+         event_type,
+         CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+         event_type, value
+  FROM events WHERE event_id % 53 = 0
+),
+j AS (
+  SELECT a.event_id AS ka, b.event_id AS kb,
+         CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+                   AND (a.event_type IS DISTINCT FROM b.event_type
+                        OR a.value IS DISTINCT FROM b.value)
+              THEN 1 ELSE 0 END AS diff
+  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+)
+SELECT CAST(SUM(CASE WHEN ka IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND diff = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS matched_equal,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND diff = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS matched_diff,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+       CAST(SUM(CASE WHEN ka IS NULL AND kb IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -1059,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_profile_events": q_string_profile_events,
         "outliers_events": q_outliers_events,
         "latest_events_per_user": q_latest_events_per_user,
+        "reconcile_events": q_reconcile_events,
     }
 
 
@@ -1083,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "string_profile_events": _sql_string_profile(),
         "outliers_events": _sql_outliers(),
         "latest_events_per_user": SQL_LATEST_EVENTS_PER_USER,
+        "reconcile_events": SQL_RECONCILE_EVENTS,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

@@ -485,3 +485,34 @@ def test_string_profile_and_outliers_and_latest(spark):
     latest = {r["k"]: r["eid"] for r in latest_per_key(
         ev, "k", "ts", "eid").collect()}
     assert latest == {1: 12, 2: 20}   # ts tie broken by eid desc
+
+
+def test_reconcile_hand_computed(spark):
+    from data_linter_spark.checks.reconcile import (
+        reconcile,
+        reconcile_diff_rows,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0),        # equal
+         (2, "y", None),       # equal (null-safe: NULL == NULL)
+         (4, "w", 4.0)],       # only_b; k=3 only_a
+        "k long, s string, v double",
+    )
+    r = reconcile(a, b, ["k"]).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["matched_equal"], r["matched_diff"]) == (2, 0)
+    assert (r["only_a"], r["only_b"]) == (1, 1)
+
+    b2 = spark.createDataFrame(
+        [(1, "x", 9.9), (2, "y", None), (3, "z", 3.0)],
+        "k long, s string, v double",
+    )
+    r2 = reconcile(a, b2, ["k"]).collect()[0]
+    assert (r2["matched_equal"], r2["matched_diff"]) == (2, 1)
+    diffs = reconcile_diff_rows(a, b2, ["k"]).collect()
+    assert [(d["k"], d["a_v"], d["b_v"]) for d in diffs] == [(1, 1.0, 9.9)]
