@@ -1,0 +1,105 @@
+"""Dataset-level quality checks — the volume / freshness / dependency
+monitors a deployed linter grows into (the reference validates row
+contents; these validate the SHAPE of arrivals over time and across
+columns). All are single- or two-aggregation plans with window functions
+over already-aggregated relations — nothing touches row-level data twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "day",
+    trailing: int = 7,
+    min_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-bucket row counts vs the trailing mean of the previous
+    ``trailing`` buckets: ``(bucket_start, n_rows, trailing_mean,
+    ratio, volume_ok)``. A bucket with fewer than ``min_ratio`` x the
+    trailing mean is flagged (ingestion partially failed / upstream went
+    quiet). The window runs over the per-bucket count relation —
+    |buckets| rows, not |data|."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    counts = df.filter(F.col(ts_col).isNotNull()).groupBy(b).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = (
+        Window.orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    tm = F.avg("n_rows").over(w)
+    ratio = F.col("n_rows") / F.col("trailing_mean")
+    return (
+        counts.withColumn("trailing_mean", F.round(tm, 4))
+        .withColumn("ratio", F.round(ratio, 4))
+        .withColumn(
+            "volume_ok",
+            F.col("trailing_mean").isNull()
+            | (F.col("ratio") >= F.lit(min_ratio)),
+        )
+    )
+
+
+def freshness_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    max_lag_seconds: int = 86400,
+) -> DataFrame:
+    """Per-group freshness vs the dataset's own frontier: ``(group,
+    latest_ts, lag_seconds, fresh)`` where lag is measured against the
+    GLOBAL max timestamp (data-derived, so the check is deterministic and
+    reproducible — no wall clock in the plan). A group whose latest event
+    trails the frontier by more than ``max_lag_seconds`` has gone stale
+    relative to its peers."""
+    per = df.filter(F.col(ts_col).isNotNull()).groupBy(group_col).agg(
+        F.max(ts_col).alias("latest_ts")
+    )
+    w = Window.partitionBy()
+    frontier = F.max("latest_ts").over(w)
+    lag = F.unix_timestamp(frontier) - F.unix_timestamp(F.col("latest_ts"))
+    return per.select(
+        group_col,
+        "latest_ts",
+        lag.cast("long").alias("lag_seconds"),
+        (lag <= max_lag_seconds).alias("fresh"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, determinant_col: str, dependent_col: str
+) -> DataFrame:
+    """Functional-dependency check (determinant -> dependent): one-row
+    summary ``(n_keys, violating_keys, violating_rows)`` counting
+    determinant values that map to MORE THAN ONE distinct dependent value
+    (nulls count as a value via null-safe distinctness). One groupBy on
+    the determinant — the same single shuffle any keyed check needs."""
+    keyed = (
+        df.filter(F.col(determinant_col).isNotNull())
+        .groupBy(determinant_col)
+        .agg(
+            F.count(F.lit(1)).alias("__rows"),
+            # count_distinct ignores nulls; add one bucket when nulls exist
+            (
+                F.countDistinct(F.col(dependent_col))
+                + F.max(
+                    F.when(F.col(dependent_col).isNull(), 1).otherwise(0)
+                )
+            ).alias("__vals"),
+        )
+    )
+    viol = F.col("__vals") > 1
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(
+            "violating_keys"
+        ),
+        F.sum(F.when(viol, F.col("__rows")).otherwise(0)).cast("long").alias(
+            "violating_rows"
+        ),
+    )

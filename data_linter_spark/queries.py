@@ -799,6 +799,90 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# 2h. dataset-level quality monitors: volume anomaly, freshness, functional
+#     dependency
+# ---------------------------------------------------------------------------
+
+VOL_TRAILING, VOL_MIN_RATIO = 7, 0.5
+FRESH_MAX_LAG_S = 86400
+
+
+def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.quality import volume_anomaly
+
+    return volume_anomaly(
+        _read(spark, sf_dir, "events"), "ts", "day", VOL_TRAILING,
+        VOL_MIN_RATIO,
+    )
+
+
+SQL_VOLUME_ANOMALY_EVENTS = f"""
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT bucket_start, n_rows,
+         ROUND(AVG(n_rows) OVER (ORDER BY bucket_start
+               ROWS BETWEEN {VOL_TRAILING} PRECEDING AND 1 PRECEDING), 4)
+             AS trailing_mean
+  FROM c
+)
+SELECT bucket_start, n_rows, trailing_mean,
+       ROUND(n_rows / trailing_mean, 4) AS ratio,
+       (trailing_mean IS NULL
+        OR n_rows / trailing_mean >= {VOL_MIN_RATIO}) AS volume_ok
+FROM t
+"""
+
+
+def q_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.quality import freshness_by_group
+
+    return freshness_by_group(
+        _read(spark, sf_dir, "events"), "event_type", "ts", FRESH_MAX_LAG_S
+    )
+
+
+SQL_FRESHNESS_BY_TYPE = f"""
+WITH per AS (
+  SELECT event_type, MAX(ts) AS latest_ts
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT event_type, latest_ts,
+       CAST(date_diff('second', latest_ts, (SELECT MAX(latest_ts) FROM per))
+            AS BIGINT) AS lag_seconds,
+       date_diff('second', latest_ts, (SELECT MAX(latest_ts) FROM per))
+           <= {FRESH_MAX_LAG_S} AS fresh
+FROM per
+"""
+
+
+def q_fd_documents_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.quality import fd_violations
+
+    return fd_violations(_read(spark, sf_dir, "documents"), "source", "lang")
+
+
+SQL_FD_DOCUMENTS_SOURCE_LANG = """
+WITH keyed AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS rows_,
+         (count(DISTINCT lang)
+          + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)) AS vals
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_keys,
+       CAST(SUM(CASE WHEN vals > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+           AS violating_rows
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -1129,6 +1213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events": q_outliers_events,
         "latest_events_per_user": q_latest_events_per_user,
         "reconcile_events": q_reconcile_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "freshness_by_type": q_freshness_by_type,
+        "fd_documents_source_lang": q_fd_documents_source_lang,
     }
 
 
@@ -1154,6 +1241,9 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events": _sql_outliers(),
         "latest_events_per_user": SQL_LATEST_EVENTS_PER_USER,
         "reconcile_events": SQL_RECONCILE_EVENTS,
+        "volume_anomaly_events": SQL_VOLUME_ANOMALY_EVENTS,
+        "freshness_by_type": SQL_FRESHNESS_BY_TYPE,
+        "fd_documents_source_lang": SQL_FD_DOCUMENTS_SOURCE_LANG,
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

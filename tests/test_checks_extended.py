@@ -516,3 +516,43 @@ def test_reconcile_hand_computed(spark):
     assert (r2["matched_equal"], r2["matched_diff"]) == (2, 1)
     diffs = reconcile_diff_rows(a, b2, ["k"]).collect()
     assert [(d["k"], d["a_v"], d["b_v"]) for d in diffs] == [(1, 1.0, 9.9)]
+
+
+def test_quality_monitors_hand_computed(spark):
+    from data_linter_spark.checks.quality import (
+        fd_violations,
+        freshness_by_group,
+        volume_anomaly,
+    )
+    from pyspark.sql import functions as F
+
+    # volume: 3 normal days then a crashed day
+    rows = []
+    for d, n in [(1, 100), (2, 110), (3, 90), (4, 10)]:
+        rows += [(f"2024-01-0{d} 00:00:00",)] * n
+    ev = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    va = {r["bucket_start"].day: r for r in volume_anomaly(
+        ev, "ts", trailing=7, min_ratio=0.5).collect()}
+    assert va[1]["volume_ok"] is True and va[1]["trailing_mean"] is None
+    assert va[4]["volume_ok"] is False      # 10 < 0.5 * mean(100,110,90)
+    assert va[4]["trailing_mean"] == 100.0
+
+    # freshness: group b trails the frontier by 2 days
+    fr = spark.createDataFrame(
+        [("a", "2024-01-10 00:00:00"), ("b", "2024-01-08 00:00:00")],
+        "g string, ts_s string",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["g"]: r for r in freshness_by_group(
+        fr, "g", "ts", max_lag_seconds=86400).collect()}
+    assert got["a"]["fresh"] is True and got["a"]["lag_seconds"] == 0
+    assert got["b"]["fresh"] is False and got["b"]["lag_seconds"] == 172800
+
+    # FD: k1 -> one value (plus NULL counts as a second), k2 -> clean
+    fd = spark.createDataFrame(
+        [("k1", "x"), ("k1", None), ("k2", "y"), ("k2", "y")],
+        "det string, dep string",
+    )
+    r = fd_violations(fd, "det", "dep").collect()[0]
+    assert (r["n_keys"], r["violating_keys"], r["violating_rows"]) == (2, 1, 2)
