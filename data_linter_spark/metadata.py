@@ -170,6 +170,15 @@ class Metadata:
         ``n_tok = size(tokens)`` (BASELINE.json input_hint / FIXTURES.md F1)."""
         return self._d.get("row-conditions", [])
 
+    @property
+    def dependencies(self) -> list[dict]:
+        """Functional dependencies (graft extension): each entry is
+        ``{"determinant": <col>, "dependent": <col>}`` — every determinant
+        value must map to at most one distinct dependent value. Executed by
+        SparkValidator as ``functional_dependency_test`` under the
+        determinant column."""
+        return self._d.get("dependencies", [])
+
     def to_dict(self) -> dict:
         return json.loads(json.dumps(self._d))
 

@@ -219,6 +219,30 @@ class SparkValidator:
                 )
                 self.response.add_test_to_col(name, "drift_test", res)
 
+        for dep in self.metadata.dependencies:
+            det, d = dep["determinant"], dep["dependent"]
+            if det not in df.columns or d not in df.columns:
+                continue
+            from data_linter_spark.checks.quality import fd_violations
+
+            row2 = fd_violations(df, det, d).collect()[0]
+            res = {
+                "valid": row2["violating_keys"] == 0,
+                "test_inputs": {"determinant": det, "dependent": d},
+            }
+            if row2["violating_keys"]:
+                res["violating_keys"] = row2["violating_keys"]
+                res["violating_rows"] = row2["violating_rows"]
+                if total is None:
+                    total = df.count()
+                if total:
+                    res["percentage_of_column_is_error"] = (
+                        row2["violating_rows"] / total * 100
+                    )
+            self.response.add_test_to_col(
+                det, "functional_dependency_test", res
+            )
+
     def _resolve_ref_table(self, table: str) -> DataFrame:
         """Referenced dimension from ``ref_tables``: a DataFrame as-is, a
         string as a parquet path. A missing entry raises — the exception is

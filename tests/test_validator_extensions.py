@@ -224,3 +224,31 @@ def test_orc_source_through_validator(spark, tmp_path):
     v.read_data_and_validate()
     assert v.valid is False
     assert v.get_response_dict()["v"]["min_max_test"]["valid"] is False
+
+
+def test_functional_dependency_metadata_key(spark):
+    """Table-level dependencies metadata -> functional_dependency_test."""
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "det", "type": "string"},
+            {"name": "dep", "type": "string"},
+        ],
+        "dependencies": [{"determinant": "det", "dependent": "dep"}],
+    }
+    clean = spark.createDataFrame(
+        [("k1", "x"), ("k1", "x"), ("k2", "y")], "det string, dep string"
+    )
+    assert _validate(clean, meta).valid is True
+
+    dirty = spark.createDataFrame(
+        [("k1", "x"), ("k1", "z"), ("k2", "y"), ("k3", "w")],
+        "det string, dep string",
+    )
+    v = _validate(dirty, meta)
+    res = v.get_response_dict()["det"]["functional_dependency_test"]
+    assert v.valid is False and res["valid"] is False
+    assert (res["violating_keys"], res["violating_rows"]) == (1, 2)
+    assert res["percentage_of_column_is_error"] == pytest.approx(50.0)
+    assert v.response.get_names_of_column_failures(
+        ["functional_dependency_test"]) == ["det"]
