@@ -43,6 +43,10 @@ TABLE_PARAMS = [
     "headers_ignore_case",
     "pandas_kwargs",
     "row_limit",
+    # parity quirk: only_test_cols_in_metadata is aliased+accepted but has
+    # NO behavior in the reference either (it appears only in the
+    # underscore-aliasing list, reference validation.py:108, and not in
+    # config-schema.json) — kept accepted-and-inert for config parity
     "only_test_cols_in_metadata",
     "allow_missing_cols",
     "allow_unexpected_data",
