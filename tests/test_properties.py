@@ -1,0 +1,128 @@
+"""Property-based parity tests (hypothesis) for the cross-engine layers
+where a single bad edge would silently skew results: the portable hex8
+hash arithmetic, the strptime -> java.time translation, and the packing
+accounting. Spark-backed properties reuse the session fixture and keep
+example counts small (each example is a tiny job)."""
+
+import string
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_linter_spark.checks.column import strptime_to_spark
+from data_linter_spark.functions.dedup import MERSENNE_P, sql_hex8_to_long
+
+HEX_ALPHABET = "0123456789abcdef"
+
+
+@given(st.text(alphabet=HEX_ALPHABET, min_size=8, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_sql_hex8_matches_python_int(hex8):
+    """The DuckDB-side positional arithmetic equals int(hex8, 16) — the
+    invariant every minhash/simhash oracle rests on."""
+    got = duckdb.sql(f"SELECT {sql_hex8_to_long(repr(hex8))} AS v").fetchone()[0]
+    assert got == int(hex8, 16)
+
+
+SUPPORTED_DIRECTIVES = ["%Y", "%m", "%d", "%H", "%M", "%S"]
+SEPARATORS = ["-", "/", " ", ":", "."]
+
+
+@st.composite
+def fmt_and_dt(draw):
+    """A random strptime format assembled from supported directives joined
+    by separators (always starting with %Y so the date is unambiguous),
+    plus a random datetime to format with it."""
+    n = draw(st.integers(min_value=1, max_value=5))
+    parts = ["%Y"] + draw(
+        st.lists(st.sampled_from(SUPPORTED_DIRECTIVES[1:]), min_size=n,
+                 max_size=n, unique=True)
+    )
+    seps = [draw(st.sampled_from(SEPARATORS)) for _ in range(len(parts) - 1)]
+    fmt = parts[0] + "".join(s + p for s, p in zip(seps, parts[1:]))
+    base = datetime(2000, 1, 1)
+    dt = base + timedelta(
+        days=draw(st.integers(0, 10000)),
+        seconds=draw(st.integers(0, 86399)),
+    )
+    return fmt, dt
+
+
+@given(fmt_and_dt())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_strptime_translation_accepts_what_python_accepts(spark, case):
+    """A value produced by strftime(fmt) must parse under the TRANSLATED
+    Spark pattern (the acceptance direction the date/datetime tests rely
+    on: no false violations on well-formed values)."""
+    fmt, dt = case
+    value = dt.strftime(fmt)
+    assert datetime.strptime(value, fmt)  # sanity: Python round-trips
+    pattern = strptime_to_spark(fmt)
+    row = spark.sql(
+        "SELECT try_to_timestamp({}, {}) AS t".format(
+            repr(value).replace("'", "'"), repr(pattern)
+        )
+    ).collect()[0]
+    assert row["t"] is not None, (fmt, pattern, value)
+
+
+@given(st.text(alphabet=string.printable, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_strptime_translation_total_or_raises(fmt):
+    """The translator either returns a pattern or raises ValueError on an
+    unsupported directive — it never silently mangles a format."""
+    try:
+        out = strptime_to_spark(fmt)
+    except ValueError:
+        return
+    assert isinstance(out, str)
+
+
+def _pack_sim(n_toks, L):
+    """Pure-Python concat-and-chunk reference simulation."""
+    total = sum(n_toks)
+    n_windows = -(-total // L) if total else 0
+    start = 0
+    crossing = 0
+    for n in n_toks:
+        if n > 0 and start // L != (start + n - 1) // L:
+            crossing += 1
+        start += n
+    return total, n_windows, crossing
+
+
+@given(st.lists(st.integers(min_value=0, max_value=37), min_size=1,
+                max_size=30))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_packing_stats_matches_simulation(spark, n_toks):
+    from data_linter_spark.functions.packing import packing_stats
+
+    L = 16
+    rows = [("g", f"d{i:04d}", n) for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(rows, "src string, doc_id string, n_tok int")
+    got = packing_stats(df, "src", "doc_id", "n_tok", context_len=L).collect()
+    total, n_windows, crossing = _pack_sim(n_toks, L)
+    assert len(got) == 1
+    r = got[0]
+    assert r["total_tokens"] == total
+    assert r["n_windows"] == n_windows
+    assert r["n_boundary_docs"] == crossing
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1,
+                max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_minhash_perm_values_in_range(sids):
+    """Affine permutation outputs stay in [0, p) for any shingle id — the
+    signature columns can never overflow a long or go negative."""
+    from data_linter_spark.functions.dedup import minhash_perms
+
+    for a, b in minhash_perms(8):
+        for sid in sids:
+            v = (a * (sid % MERSENNE_P) + b) % MERSENNE_P
+            assert 0 <= v < MERSENNE_P
