@@ -1,6 +1,7 @@
 from data_linter_spark.streaming.validate_stream import (  # noqa: F401
     stream_duplicate_counts,
     stream_row_verdicts,
+    stream_session_counts,
     stream_split,
     stream_windowed_drift,
     stream_windowed_verdicts,

@@ -262,3 +262,33 @@ def stream_duplicate_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: Optional[str] = "10 minutes",
+) -> DataFrame:
+    """Per-user session event counts via Spark's NATIVE session windows
+    (``F.session_window``): one stateful aggregation whose windows extend
+    while events keep arriving within ``gap`` and close ``gap`` after the
+    last event — the streaming form of functions/sessions.sessionize, with
+    state management (window merge + eviction past the watermark) done by
+    the engine instead of applyInPandasWithState. Emits
+    ``(user, session_start, session_end, n_events)``. Works identically on
+    a batch frame, which is how tests cross-check per-session event counts
+    against the batch lag/cumsum implementation."""
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    out = src.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col(user_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

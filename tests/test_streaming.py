@@ -249,3 +249,43 @@ def test_stream_windowed_drift_matches_batch_statistics(spark, tmp_path):
         cur = numeric_histogram(win, "x", 0.0, 100.0, 20)
         assert rec["psi"] == pytest.approx(psi_stat(baseline, cur), rel=1e-9)
         assert rec["ks"] == pytest.approx(ks_statistic(baseline, cur), rel=1e-9)
+
+
+def test_stream_session_counts_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window sessionization (streamed, availableNow) agrees
+    with the batch lag/cumsum implementation on session count and sizes."""
+    from data_linter_spark.functions.sessions import sessionize
+    from data_linter_spark.streaming import stream_session_counts
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:10:00", 2),   # same session
+        (1, "2024-01-01 01:00:00", 3),   # gap 50m -> new session
+        (2, "2024-01-01 00:00:00", 4),
+        (2, "2024-01-01 02:00:00", 5),   # new session
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    path = str(tmp_path / "sess_in")
+    batch.coalesce(1).write.parquet(path)
+
+    sdf = spark.readStream.schema(batch.schema).parquet(path)
+    out = stream_session_counts(sdf, "user_id", "ts", "30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_sessions = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    )
+
+    b = sessionize(batch, "user_id", "ts", "event_id", gap_seconds=1800)
+    batch_sessions = sorted(
+        (r["user_id"], r["cnt"])
+        for r in b.groupBy("user_id", "session_idx").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert stream_sessions == batch_sessions == [(1, 1), (1, 2), (2, 1), (2, 1)]
