@@ -525,3 +525,67 @@ def embedding_near_dups_exact(
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+# -- duplicate clustering (connected components) ----------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> ``(id, rep)``
+    where ``rep`` is the component's minimum id — the step that turns
+    near-dup PAIRS into dedup CLUSTERS (keep ``rep``, drop the rest).
+
+    Iterative min-label propagation: every vertex starts labeled with its
+    own id; each round every vertex takes the min of its label and its
+    neighbors' labels; converges in O(component diameter) rounds (dup
+    clusters are near-cliques, so typically 2-3). Each round is one
+    join + one groupBy on the edge relation — the standard scalable CC
+    shape (GraphX/GraphFrames do the same under the hood); labels are
+    persisted per round and the loop stops when a round changes nothing
+    (one count per round — a scalar, not a collect of data).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    bidir = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    bidir = bidir.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            bidir.join(labels, on=bidir["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("rep").alias("__nrep"))
+        )
+        new_labels = (
+            labels.join(neigh, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("__nrep"), F.col("rep")))
+                .alias("rep"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

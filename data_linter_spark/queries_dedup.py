@@ -472,6 +472,43 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate clustering: minhash near-dup pairs -> connected components ->
+# (id, rep) canonical assignment. Oracle = recursive CTE computing the min
+# reachable id per node over the same pair graph — independently verifying
+# the iterative min-label-propagation loop's fixpoint.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.minhash_near_dups(
+        _corpus(spark, sf_dir), "doc_id", "text",
+        n_hashes=N_HASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        min_jaccard=MIN_JACCARD,
+    ).select("id_a", "id_b")
+    return dd.connected_components(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_minhash()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY id
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -481,6 +518,7 @@ DEDUP_QUERIES = {
     "lang_id_counts": q_lang_id_counts,
     "fingerprint_documents": q_fingerprint_documents,
     "corpus_filter": q_corpus_filter,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 DEDUP_ORACLES = {
@@ -492,4 +530,5 @@ DEDUP_ORACLES = {
     "lang_id_counts": SQL_LANG_ID,
     "fingerprint_documents": SQL_FINGERPRINT,
     "corpus_filter": _sql_corpus_filter(),
+    "dedup_clusters": _sql_dedup_clusters(),
 }

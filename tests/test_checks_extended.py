@@ -556,3 +556,16 @@ def test_quality_monitors_hand_computed(spark):
     )
     r = fd_violations(fd, "det", "dep").collect()[0]
     assert (r["n_keys"], r["violating_keys"], r["violating_rows"]) == (2, 1, 2)
+
+
+def test_connected_components_hand_built_graph(spark):
+    """Chain 1-2-3 (diameter 2, needs >1 propagation round), triangle
+    10-11-12, isolated pair 20-21."""
+    from data_linter_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
