@@ -5,7 +5,7 @@ compiled constraint expressions to streams: because every check is a pure
 column expression, the SAME ConstraintSpec list drives batch and streaming
 plans — no separate streaming check implementations.
 
-Three shapes:
+Six shapes:
 
 - ``stream_row_verdicts``: append per-row ``__failed_tests`` array + ``__valid``
   flag (stateless projection — any sink, any output mode).
@@ -14,12 +14,17 @@ Three shapes:
 - ``stream_windowed_verdicts``: event-time tumbling-window violation counters
   with a watermark for late data — the streaming analogue of the grouped
   verdict pass.
+- ``stream_windowed_drift``: per-window PSI/KS vs a stored baseline profile
+  as ONE stateful aggregation (fixed-bin conditional counters) + codegen'd
+  statistic projections.
+- ``stream_session_counts``: per-user sessionization via native
+  ``F.session_window`` (engine-managed window merge + watermark eviction).
 - ``stream_duplicate_counts``: CROSS-BATCH uniqueness — the one check that
-  is genuinely stateful on a stream (a duplicate may arrive hours after the
-  original). Custom operator via ``applyInPandasWithState``: state is the
-  per-bucket set of seen key hashes; Spark has no built-in for "count the
-  duplicates" on a stream (``dropDuplicates`` silently drops them; the
-  verdict needs them COUNTED).
+  is genuinely stateful beyond what windows express (a duplicate may arrive
+  hours after the original). Custom operator via ``applyInPandasWithState``:
+  state is the per-bucket set of seen key hashes; Spark has no built-in for
+  "count the duplicates" on a stream (``dropDuplicates`` silently drops
+  them; the verdict needs them COUNTED).
 """
 
 from __future__ import annotations
