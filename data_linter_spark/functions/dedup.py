@@ -588,4 +588,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # the convergence count materialized `labels`; the edge relation is no
+    # longer needed (avoids leaking a cached relation per call)
+    bidir.unpersist()
     return labels
