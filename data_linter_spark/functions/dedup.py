@@ -551,12 +551,29 @@ def connected_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    bidir = edges.select(
+    # materialize the (possibly expensive) pair relation ONCE before the
+    # bidirectional union references it twice — without this the union's
+    # two branches race-compute the upstream pipeline in the same job
+    pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    # size the per-round relations from the MEASURED graph: a dup graph is
+    # usually tiny relative to the corpus, and each propagation round is
+    # join+groupBy+count — at the default shuffle width the per-task
+    # overhead of ~32 near-empty partitions x rounds dominates the actual
+    # work. ~250k edges per partition keeps rounds cheap at small scale and
+    # still fans out for a genuinely huge dup graph.
+    spark = edges.sparkSession
+    default_par = spark.sparkContext.defaultParallelism
+    parts = max(2, min(default_par * 2, n_pairs // 250_000 + 1))
+    bidir = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(parts, F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bidir = bidir.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         bidir.select(F.col("src").alias("id"))
         .distinct()
@@ -588,7 +605,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # the convergence count materialized `labels`; the edge relation is no
-    # longer needed (avoids leaking a cached relation per call)
+    # the convergence count materialized `labels`; the edge relations are no
+    # longer needed (avoids leaking cached relations per call)
     bidir.unpersist()
+    pairs.unpersist()
     return labels
