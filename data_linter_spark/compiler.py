@@ -175,10 +175,20 @@ class ConstraintPlan:
         rid = self._row_id()
         out: dict[str, tuple[list, list]] = {}
         for spec in failing:
+            if spec.col_name in self.df.columns:
+                val = F.col(spec.col_name).cast("string")
+            else:
+                # cross-column specs (expression_test row-conditions) have a
+                # condition NAME, not a column: sample the whole row instead
+                # (minus internal helper columns like __precast__*)
+                user_cols = [
+                    c for c in self.df.columns if not c.startswith("__")
+                ]
+                val = F.to_json(F.struct(*user_cols))
             rows = (
                 self.df.select(
                     rid.alias(ROW_ID_COL),
-                    F.col(spec.col_name).cast("string").alias("__val"),
+                    val.alias("__val"),
                     F.coalesce(spec.oob, F.lit(False)).alias("__oob"),
                 )
                 .filter(F.col("__oob"))

@@ -252,3 +252,118 @@ def test_functional_dependency_metadata_key(spark):
     assert res["percentage_of_column_is_error"] == pytest.approx(50.0)
     assert v.response.get_names_of_column_failures(
         ["functional_dependency_test"]) == ["det"]
+
+
+def test_grand_lifecycle_composition(spark, tmp_path):
+    """Every feature family through ONE config lifecycle: core constraints +
+    row-conditions + unique + references + drift + dependencies, engine
+    params carrying ref_tables/baseline_profiles, violations sink,
+    compression, run-parallel, pass/fail routing, per-table JSON logs."""
+    import gzip
+    import json
+
+    from data_linter_spark.checks.drift import numeric_histogram
+    from data_linter_spark.runner import run_validation
+
+    dim_path = str(tmp_path / "dim.parquet")
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(dim_path)
+    base_df = spark.range(2000).selectExpr("CAST(id % 50 AS DOUBLE) AS v")
+    baseline_path = tmp_path / "baseline.json"
+    baseline_path.write_text(
+        numeric_histogram(base_df, "v", 0.0, 50.0, 10).to_json()
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    # good file: everything passes
+    (land / "good_t.csv").write_text(
+        "k,fk,v,n\n" + "\n".join(
+            f"{i},{1 + i % 2},{float(i % 50)},{i % 50}" for i in range(200)
+        ) + "\n"
+    )
+    # bad file: dup key, dangling fk, drifted v, FD violation, row-cond fail
+    (land / "bad_t.csv").write_text(
+        "k,fk,v,n\n"
+        "1,1,49.0,60\n"     # n > v: row-condition violation; v drifted high
+        "1,9,48.0,48\n"     # dup k; dangling fk
+        "2,1,49.5,49\n"
+    )
+    meta = {
+        "name": "t", "file_format": "csv",
+        "columns": [
+            {"name": "k", "type": "int64", "nullable": False, "unique": True},
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+            {"name": "v", "type": "float64", "minimum": 0.0, "maximum": 50.0,
+             "drift": {"psi_threshold": 0.2, "ks_threshold": 0.1}},
+            {"name": "n", "type": "int64"},
+        ],
+        "dependencies": [{"determinant": "k", "dependent": "fk"}],
+        "row-conditions": [{"name": "n_le_v_plus_10",
+                            "expression": "n <= v + 10"}],
+    }
+    mg, mb = tmp_path / "good.json", tmp_path / "bad.json"
+    mg.write_text(json.dumps({**meta, "name": "good"}))
+    mb.write_text(json.dumps({**meta, "name": "bad"}))
+    for d in ("pass", "fail", "log", "viol"):
+        (tmp_path / d).mkdir()
+    config = {
+        "land-base-path": str(land),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "violations-base-path": str(tmp_path / "viol"),
+        "compress-data": True,
+        "run-parallel": True,
+        "validator-engine-params": {
+            "ref_tables": {"dim": dim_path},
+            "baseline_profiles": {"v": str(baseline_path)},
+            "log_verbosity": 3,
+        },
+        "tables": {
+            "good": {"metadata": str(mg), "expect-header": True},
+            "bad": {"metadata": str(mb), "expect-header": True},
+        },
+    }
+    status = run_validation(config, spark=spark)
+    assert status["all_tables_passed"] is False
+    by_table = {r["table-name"]: r for r in status["responses"]}
+    assert by_table["good"]["valid"] is True
+    bad = by_table["bad"]["response"]
+    assert bad["k"]["unique_test"]["valid"] is False
+    assert bad["fk"]["referential_test"]["valid"] is False
+    assert bad["v"]["drift_test"]["valid"] is False
+    assert bad["k"]["functional_dependency_test"]["valid"] is False
+    assert bad["n_le_v_plus_10"]["expression_test"]["valid"] is False
+    # routing + compression: good -> pass (gz), bad -> fail (gz)
+    assert "/pass/" in by_table["good"]["archived-path"]
+    assert by_table["good"]["archived-path"].endswith(".gz")
+    assert "/fail/" in by_table["bad"]["archived-path"]
+    with gzip.open(by_table["good"]["archived-path"], "rt") as f:
+        assert f.readline().strip() == "k,fk,v,n"
+    # violations sink written for the failing table, row-level detail intact
+    viol = spark.read.parquet(by_table["bad"]["violations-path"])
+    tags = {t for r in viol.collect() for t in r["__violated_tests"]}
+    assert "__viol__n_le_v_plus_10__expression_test" in tags
+    # per-table JSON logs exist
+    logs = list((tmp_path / "log" / "tables").rglob("*.json"))
+    assert len(logs) == 2
+
+
+def test_expression_test_violation_samples_whole_row(spark):
+    """Regression: log_verbosity + failing row-condition used to raise
+    (the condition name is not a column) — samples now carry the row JSON."""
+    import json
+
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "a", "type": "int64"},
+                    {"name": "b", "type": "int64"}],
+        "row-conditions": [{"name": "a_lt_b", "expression": "a < b"}],
+    }
+    df = spark.createDataFrame([(1, 2), (5, 3)], "a long, b long")
+    v = _validate(df, meta, log_verbosity=5)
+    res = v.get_response_dict()["a_lt_b"]["expression_test"]
+    assert res["valid"] is False
+    assert len(res["unexpected_values_sample"]) == 1
+    assert json.loads(res["unexpected_values_sample"][0]) == {"a": 5, "b": 3}
