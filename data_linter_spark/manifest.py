@@ -122,6 +122,9 @@ def _chunks(items: list, size: int):
         yield items[i : i + size]
 
 
+GLOBAL_CHECKS_ID = "__GLOBAL__"
+
+
 def validate_partitioned(
     spark: SparkSession,
     df: DataFrame,
@@ -132,6 +135,8 @@ def validate_partitioned(
     salted: bool = True,
     salt_buckets: int = 32,
     lineage: Optional[dict] = None,
+    ref_tables: Optional[dict] = None,
+    unique_screen_only: bool = False,
 ) -> dict:
     """Validate ``df`` per distinct ``partition_col`` value with checkpoint/
     resume. Returns a summary; per-partition verdicts land in the manifest.
@@ -144,6 +149,13 @@ def validate_partitioned(
     DataSourceV2 — the scan reads ONLY the batch's partitions
     (``explain()`` shows PartitionFilters; test_manifest asserts it). A
     string-cast filter would defeat pruning on typed partition columns.
+
+    Metadata keys that are NOT per-partition-decomposable (``unique`` —
+    a duplicate may span partitions — ``references``, ``dependencies``)
+    run ONCE globally after the per-partition loop and land in the
+    manifest under the reserved ``__GLOBAL__`` partition id (resumable
+    like any other partition; ``all_passed`` includes it). ``ref_tables``
+    maps referenced table names to DataFrames or parquet paths.
     """
     all_values = [r[0] for r in df.select(partition_col).distinct().collect()]
     done = manifest.done_partitions()
@@ -182,6 +194,10 @@ def validate_partitioned(
             )
             n_validated += 1
 
+    global_results = _run_global_checks(
+        df, metadata, manifest, done, lineage, ref_tables, unique_screen_only
+    )
+
     recs = manifest.records()
     return {
         "partitions_total": len(all_values),
@@ -189,4 +205,74 @@ def validate_partitioned(
         "partitions_validated": n_validated,
         "all_passed": all(r["status"] == "pass" for r in recs),
         "manifest_path": manifest.path,
+        "global_checks": global_results,
     }
+
+
+def _run_global_checks(
+    df: DataFrame,
+    metadata: Metadata,
+    manifest: PartitionManifest,
+    done: set,
+    lineage: Optional[dict],
+    ref_tables: Optional[dict],
+    unique_screen_only: bool,
+) -> dict:
+    """The non-decomposable checks, once per run, resumable via the
+    reserved __GLOBAL__ manifest record."""
+    unique_cols = [
+        mc["name"] for mc in metadata.columns
+        if mc.get("unique") and mc["name"] in df.columns
+    ]
+    ref_specs = [
+        (mc["name"], mc["references"]) for mc in metadata.columns
+        if mc.get("references") and mc["name"] in df.columns
+    ]
+    deps = [
+        d for d in metadata.dependencies
+        if d["determinant"] in df.columns and d["dependent"] in df.columns
+    ]
+    if not (unique_cols or ref_specs or deps):
+        return {}
+    if GLOBAL_CHECKS_ID in done:
+        return {"skipped_resume": True}
+
+    from data_linter_spark.checks.quality import fd_violations
+    from data_linter_spark.checks.referential import referential_test_result
+    from data_linter_spark.checks.unique import unique_test_result
+
+    results: dict = {}
+    for c in unique_cols:
+        results[f"{c}.unique_test"] = unique_test_result(
+            df, c, screen_only=unique_screen_only
+        )
+    for name, ref in ref_specs:
+        entry = (ref_tables or {}).get(ref["table"])
+        if entry is None:
+            raise ValueError(
+                f"column {name!r} references table {ref['table']!r} but no "
+                f"such entry was passed via ref_tables"
+            )
+        ref_df = (
+            entry if isinstance(entry, DataFrame)
+            else df.sparkSession.read.parquet(entry)
+        )
+        results[f"{name}.referential_test"] = referential_test_result(
+            df, name, ref_df, ref["column"], ref_table_name=ref["table"]
+        )
+    for d in deps:
+        row = fd_violations(df, d["determinant"], d["dependent"]).collect()[0]
+        results[f"{d['determinant']}.functional_dependency_test"] = {
+            "valid": row["violating_keys"] == 0,
+            "test_inputs": dict(d),
+            "violating_keys": int(row["violating_keys"]),
+            "violating_rows": int(row["violating_rows"]),
+        }
+    all_ok = all(r["valid"] for r in results.values())
+    manifest.record(
+        GLOBAL_CHECKS_ID,
+        "pass" if all_ok else "fail",
+        {"checks": {k: bool(v["valid"]) for k, v in results.items()}},
+        lineage,
+    )
+    return results

@@ -171,3 +171,49 @@ def test_resume_filter_prunes_partitioned_scan(spark, tmp_path):
     assert summary["partitions_total"] == 7
     recs = {r["partition_id"]: r for r in m.records()}
     assert recs["0"]["status"] == "fail" and recs["0"]["metrics"]["rows"] == 100
+
+
+def test_global_checks_in_partitioned_run(spark, tmp_path):
+    """A duplicate key SPANNING partitions is invisible to per-partition
+    verdicts — the global phase catches it, records __GLOBAL__, and resume
+    skips it."""
+    from data_linter_spark.manifest import (
+        GLOBAL_CHECKS_ID,
+        PartitionManifest,
+        validate_partitioned,
+    )
+    from data_linter_spark.metadata import Metadata
+
+    df = spark.createDataFrame(
+        [("p1", 1, 10), ("p1", 2, 10), ("p2", 1, 11), ("p2", 3, 99)],
+        "src string, k long, fk long",
+    )
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "src", "type": "string"},
+            {"name": "k", "type": "int64", "unique": True},
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+        ],
+    })
+    dim = spark.createDataFrame([(10,), (11,)], "id long")
+    m = PartitionManifest(str(tmp_path / "m"))
+    s = validate_partitioned(
+        spark, df, meta, "src", m, ref_tables={"dim": dim}
+    )
+    assert s["all_passed"] is False
+    g = s["global_checks"]
+    assert g["k.unique_test"]["valid"] is False        # k=1 in p1 AND p2
+    assert g["fk.referential_test"]["valid"] is False  # fk=99 dangling
+    statuses = {r["partition_id"]: r["status"] for r in m.records()}
+    assert statuses[GLOBAL_CHECKS_ID] == "fail"
+    assert statuses["p1"] == "pass" and statuses["p2"] == "pass"
+
+    # resume: global phase skipped, nothing re-validated
+    s2 = validate_partitioned(
+        spark, df, meta, "src", m, ref_tables={"dim": dim}
+    )
+    assert s2["partitions_validated"] == 0
+    assert s2["global_checks"] == {"skipped_resume": True}
+    assert s2["all_passed"] is False
