@@ -46,6 +46,14 @@ def main(argv=None) -> int:
     vp.add_argument("--manifest", required=True)
     vp.add_argument("--batch-size", type=int, default=64)
     vp.add_argument("--no-salt", action="store_true")
+    vp.add_argument(
+        "--ref-table", action="append", default=[], metavar="NAME=PATH",
+        help="dimension for metadata 'references' global checks (repeatable)",
+    )
+    vp.add_argument(
+        "--unique-screen-only", action="store_true",
+        help="HLL screen verdicts only for global unique checks",
+    )
 
     sp = sub.add_parser("summary", help="verdict-log summary")
     sp.add_argument("--config", default="config.yaml")
@@ -70,6 +78,7 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.input)
         meta = Metadata.from_json(args.metadata)
         meta.set_col_type_category_from_types()
+        ref_tables = dict(kv.split("=", 1) for kv in args.ref_table)
         summary = validate_partitioned(
             spark,
             df,
@@ -78,8 +87,10 @@ def main(argv=None) -> int:
             PartitionManifest(args.manifest),
             batch_size=args.batch_size,
             salted=not args.no_salt,
+            ref_tables=ref_tables,
+            unique_screen_only=args.unique_screen_only,
         )
-        print(json.dumps(summary))
+        print(json.dumps(summary, default=str))
         return 0 if summary["all_passed"] else 1
 
     if args.cmd == "summary":

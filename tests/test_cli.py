@@ -1,0 +1,66 @@
+"""CLI entry-point tests (the spark-submit surface, reference
+command_line.py analogue) — drive ``cli.main(argv)`` in-process; the
+session fixture's active SparkSession is reused via getOrCreate."""
+
+import json
+
+from data_linter_spark.cli import main
+
+
+def test_cli_validate_partitioned_with_global_checks(spark, tmp_path, capsys):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("b", 1, 11), ("b", 3, 99)],
+        "src string, k long, fk long",
+    )
+    inp = str(tmp_path / "tab")
+    df.write.partitionBy("src").parquet(inp)
+    dim = str(tmp_path / "dim.parquet")
+    spark.createDataFrame([(10,), (11,)], "id long").write.parquet(dim)
+    meta_path = tmp_path / "meta.json"
+    meta_path.write_text(json.dumps({
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "src", "type": "string"},
+            {"name": "k", "type": "int64", "unique": True},
+            {"name": "fk", "type": "int64",
+             "references": {"table": "dim", "column": "id"}},
+        ],
+    }))
+    rc = main([
+        "validate-partitioned",
+        "--input", inp,
+        "--metadata", str(meta_path),
+        "--partition-col", "src",
+        "--manifest", str(tmp_path / "m"),
+        "--ref-table", f"dim={dim}",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1                       # global unique + referential fail
+    assert out["all_passed"] is False
+    assert out["partitions_total"] == 2
+    assert out["global_checks"]["k.unique_test"]["valid"] is False
+    assert out["global_checks"]["fk.referential_test"]["valid"] is False
+
+
+def test_cli_run_config_lifecycle(spark, tmp_path, capsys):
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "t1_f.csv").write_text("a\n5\n")
+    (tmp_path / "t1.json").write_text(json.dumps({
+        "name": "t1", "file_format": "csv",
+        "columns": [{"name": "a", "type": "int64", "minimum": 0}],
+    }))
+    for d in ("pass", "fail", "log"):
+        (tmp_path / d).mkdir()
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(json.dumps({
+        "land-base-path": str(land),
+        "pass-base-path": str(tmp_path / "pass"),
+        "fail-base-path": str(tmp_path / "fail"),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": {"t1": {"metadata": str(tmp_path / "t1.json"),
+                          "expect-header": True}},
+    }))
+    rc = main(["run", "--config", str(cfg)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["all_tables_passed"] is True
