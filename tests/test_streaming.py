@@ -289,3 +289,22 @@ def test_stream_session_counts_matches_batch_sessionize(spark, tmp_path):
             F.count(F.lit(1)).alias("cnt")).collect()
     )
     assert stream_sessions == batch_sessions == [(1, 1), (1, 2), (2, 1), (2, 1)]
+
+
+def test_stream_row_verdicts_with_row_conditions(spark, stream_dir):
+    """Cross-column row-conditions compile into the same streaming row
+    verdicts as any per-column test."""
+    path, batch_df = stream_dir
+    meta = {**META, "row-conditions": [
+        {"name": "value_under_200", "expression": "value < 200"},
+    ]}
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    flagged = stream_row_verdicts(sdf, Metadata(meta))
+    _run_to_memory(flagged, "rowverd_rc")
+    rows = {r["ts"].isoformat(): r for r in spark.sql(
+        "SELECT * FROM rowverd_rc").collect()}
+    assert rows["2024-01-01T00:10:00"]["__failed_tests"] == [
+        "value:min_max_test", "value_under_200:expression_test",
+    ]
+    # null value: neither min/max nor the expression fires (three-valued logic)
+    assert rows["2024-01-01T01:20:00"]["__valid"] is True
