@@ -1,0 +1,103 @@
+"""Constraint suggestion — profile a table once and emit a metadata
+document whose constraints the table currently satisfies (the
+deequ-ConstraintSuggestion side of a validation engine: you PROFILE the
+known-good snapshot, pin the suggested metadata, and every later snapshot
+validates against it).
+
+One fused aggregation pass over all columns (same shape as
+checks/profile.py), plus one tiny follow-up collect per enum candidate
+(distinct value lists are only fetched for columns whose exact distinct
+count is small). Suggested per column:
+
+- ``nullable: false``     when no nulls were observed
+- ``minimum``/``maximum`` for numeric columns (observed bounds)
+- ``minLength``/``maxLength`` for string columns
+- ``enum``                when the distinct count is <= ``enum_max``
+- ``unique: true``        when every non-null value is distinct
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPARK_TO_MOJAP = {
+    T.ByteType: "int8",
+    T.ShortType: "int16",
+    T.IntegerType: "int32",
+    T.LongType: "int64",
+    T.FloatType: "float32",
+    T.DoubleType: "float64",
+    T.BooleanType: "bool_",
+    T.StringType: "string",
+    T.DateType: "date32",
+    T.TimestampType: "timestamp(s)",
+    T.BinaryType: "binary",
+}
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType)
+
+
+def _mojap_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.IntegerType):
+        return "list<int32>"
+    for klass, name in _SPARK_TO_MOJAP.items():
+        if isinstance(dt, klass):
+            return name
+    return "string"
+
+
+def suggest_metadata(
+    df: DataFrame,
+    name: str = "table",
+    file_format: str = "parquet",
+    enum_max: int = 20,
+) -> dict:
+    """Profile ``df`` and return a metadata dict the current data passes.
+    By construction ``SparkValidator(df, suggested).valid`` is True; later
+    snapshots that widen bounds, add nulls, new enum values, or duplicate
+    a unique key fail against it."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, dt in fields.items():
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls__{c}"),
+            F.countDistinct(col).alias(f"__dist__{c}"),
+        ]
+        if isinstance(dt, _NUMERIC):
+            aggs += [F.min(col).alias(f"__min__{c}"),
+                     F.max(col).alias(f"__max__{c}")]
+        elif isinstance(dt, T.StringType):
+            aggs += [F.min(F.length(col)).alias(f"__minl__{c}"),
+                     F.max(F.length(col)).alias(f"__maxl__{c}")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+
+    columns = []
+    for c, dt in fields.items():
+        nulls, dist = row[f"__nulls__{c}"], row[f"__dist__{c}"]
+        entry: dict = {"name": c, "type": _mojap_type(dt)}
+        if nulls == 0 and n > 0:
+            entry["nullable"] = False
+        if isinstance(dt, _NUMERIC):
+            if row[f"__min__{c}"] is not None:
+                entry["minimum"] = row[f"__min__{c}"]
+                entry["maximum"] = row[f"__max__{c}"]
+        elif isinstance(dt, T.StringType):
+            if row[f"__minl__{c}"] is not None:
+                entry["minLength"] = int(row[f"__minl__{c}"])
+                entry["maxLength"] = int(row[f"__maxl__{c}"])
+            if 0 < dist <= enum_max:
+                vals = sorted(
+                    r[0] for r in
+                    df.select(c).filter(F.col(c).isNotNull())
+                    .distinct().collect()
+                )
+                entry["enum"] = vals
+        if n > 0 and dist == n - nulls and dist > 0 and nulls == 0:
+            entry["unique"] = True
+        columns.append(entry)
+    return {"name": name, "file_format": file_format, "columns": columns}

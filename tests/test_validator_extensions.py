@@ -367,3 +367,34 @@ def test_expression_test_violation_samples_whole_row(spark):
     assert res["valid"] is False
     assert len(res["unexpected_values_sample"]) == 1
     assert json.loads(res["unexpected_values_sample"][0]) == {"a": 5, "b": 3}
+
+
+def test_suggest_metadata_roundtrip(spark):
+    """Suggested constraints: the profiled snapshot passes by construction;
+    a snapshot that drifts beyond the profile fails."""
+    from data_linter_spark.checks.suggest import suggest_metadata
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.5), (3, "a", 6.0)],
+        "k long, s string, v double",
+    )
+    meta = suggest_metadata(df, name="snap")
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["k"]["unique"] is True and cols["k"]["nullable"] is False
+    assert cols["s"]["enum"] == ["a", "b"]
+    assert cols["v"]["minimum"] == 5.0 and cols["v"]["maximum"] == 7.5
+    assert cols["s"]["minLength"] == 1 and cols["s"]["maxLength"] == 1
+
+    assert _validate(df, meta).valid is True  # self-consistency
+
+    drifted = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "z", 9.9), (None, "b", 6.0)],
+        "k long, s string, v double",
+    )
+    v = _validate(drifted, meta)
+    r = v.get_response_dict()
+    assert v.valid is False
+    assert r["k"]["unique_test"]["valid"] is False       # dup k
+    assert r["k"]["nullable_test"]["valid"] is False     # null k
+    assert r["s"]["enum_test"]["valid"] is False         # 'z' new value
+    assert r["v"]["min_max_test"]["valid"] is False      # 9.9 > 7.5
