@@ -7,6 +7,8 @@ over already-aggregated relations — nothing touches row-level data twice.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,4 +104,47 @@ def fd_violations(
         F.sum(F.when(viol, F.col("__rows")).otherwise(0)).cast("long").alias(
             "violating_rows"
         ),
+    )
+
+
+# Benford's-law expected first-significant-digit probabilities
+BENFORD_P = [0.0] + [math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def first_digit_expr(col):
+    """First significant digit of a non-zero numeric: floor(|v| / 10^floor(
+    log10 |v|)). Pure arithmetic (no string formatting), so an ANSI oracle
+    computes the identical digit."""
+    av = F.abs(col.cast("double"))
+    return F.floor(av / F.pow(F.lit(10.0), F.floor(F.log10(av)))).cast("int")
+
+
+def benford_test(
+    df: DataFrame, col_name: str, psi_threshold: float = 0.05
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: one row
+    ``(n_values, psi, benford_ok)`` plus the statistic computed over the
+    9-digit histogram (PSI with the drift module's epsilon smoothing).
+    The classic screen for fabricated or truncated numeric data; only
+    meaningful for naturally wide-ranging positive magnitudes. One
+    groupBy(digit) aggregation over the non-null non-zero values."""
+    from data_linter_spark.checks.drift import EPS
+
+    col = F.col(col_name)
+    digits = (
+        df.filter(col.isNotNull() & (col.cast("double") != 0.0))
+        .groupBy(first_digit_expr(col).alias("digit"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt")
+    terms = []
+    for d in range(1, 10):
+        q = F.sum(F.when(F.col("digit") == d, F.col("cnt")).otherwise(0)) / total
+        p = BENFORD_P[d]
+        terms.append((q - F.lit(p)) * F.log((q + F.lit(EPS)) / F.lit(p + EPS)))
+    psi = sum(terms)
+    return digits.agg(
+        total.cast("long").alias("n_values"),
+        F.round(psi, 6).alias("psi"),
+        (psi <= F.lit(psi_threshold)).alias("benford_ok"),
     )

@@ -95,3 +95,47 @@ def reconcile_diff_rows(
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out
+
+
+def reconcile_by_column(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Per-column diff breakdown over the keyed matches: ``(column,
+    n_matched, n_diff, diff_rate)`` — pinpoints WHICH column drifts between
+    snapshots (the summary's matched_diff says only that something did).
+    Same single inner join as the summary; all per-column counters come out
+    of one aggregation."""
+    if compare_cols is None:
+        shared = [c for c in a.columns if c in set(b.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    la = a.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    lb = b.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    joined = la.join(lb, on=[f"__k_{k}" for k in key_cols], how="inner")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in compare_cols:
+        neq = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        aggs.append(
+            F.sum(F.when(neq, 1).otherwise(0)).alias(f"__diff__{c}")
+        )
+    row = joined.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_matched"),
+            F.col(f"__diff__{c}").cast("long").alias("n_diff"),
+            F.round(
+                F.col(f"__diff__{c}") / F.greatest(F.col("__n"), F.lit(1)), 6
+            ).alias("diff_rate"),
+        )
+        for c in compare_cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")

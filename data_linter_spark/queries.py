@@ -883,6 +883,92 @@ FROM keyed
 
 
 # ---------------------------------------------------------------------------
+# 2i. per-column snapshot diff breakdown + Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+
+def q_reconcile_by_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same perturbed snapshot as reconcile_events; the breakdown must
+    attribute every diff to the value column and none to event_type."""
+    from data_linter_spark.checks.reconcile import reconcile_by_column
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    b = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 101 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return reconcile_by_column(ev, b, ["event_id"], ["event_type", "value"])
+
+
+SQL_RECONCILE_BY_COLUMN = """
+WITH b AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END AS value
+  FROM events
+),
+j AS (
+  SELECT a.event_type AS at, b.event_type AS bt,
+         a.value AS av, b.value AS bv
+  FROM events a JOIN b ON a.event_id = b.event_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN at IS DISTINCT FROM bt THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_type,
+         CAST(SUM(CASE WHEN av IS DISTINCT FROM bv THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_value
+  FROM j
+)
+SELECT 'event_type' AS "column", n AS n_matched, d_type AS n_diff,
+       ROUND(d_type / GREATEST(n, 1), 6) AS diff_rate FROM agg
+UNION ALL
+SELECT 'value', n, d_value, ROUND(d_value / GREATEST(n, 1), 6) FROM agg
+"""
+
+
+BENFORD_PSI_THRESHOLD = 0.05
+
+
+def q_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.checks.quality import benford_test
+
+    return benford_test(
+        _read(spark, sf_dir, "events"), "value", BENFORD_PSI_THRESHOLD
+    )
+
+
+def _sql_benford() -> str:
+    from data_linter_spark.checks.drift import EPS
+    from data_linter_spark.checks.quality import BENFORD_P
+
+    terms = []
+    for d in range(1, 10):
+        q = (f"(SUM(CASE WHEN digit = {d} THEN cnt ELSE 0 END) "
+             f"/ CAST(SUM(cnt) AS DOUBLE))")
+        p = BENFORD_P[d]
+        terms.append(f"(({q} - {p!r}) * LN(({q} + {EPS!r}) / {p + EPS!r}))")
+    psi = " + ".join(terms)
+    return f"""
+WITH digits AS (
+  SELECT CAST(FLOOR(ABS(value) / POW(10.0, FLOOR(LOG10(ABS(value)))))
+              AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND CAST(value AS DOUBLE) <> 0.0
+  GROUP BY 1
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_values,
+       ROUND({psi}, 6) AS psi,
+       ({psi}) <= {BENFORD_PSI_THRESHOLD} AS benford_ok
+FROM digits
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. similarity search: brute-force cosine top-k (baseline ANN)
 # ---------------------------------------------------------------------------
 
@@ -1216,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly_events": q_volume_anomaly_events,
         "freshness_by_type": q_freshness_by_type,
         "fd_documents_source_lang": q_fd_documents_source_lang,
+        "reconcile_by_column_events": q_reconcile_by_column_events,
+        "benford_values": q_benford_values,
     }
 
 
@@ -1244,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly_events": SQL_VOLUME_ANOMALY_EVENTS,
         "freshness_by_type": SQL_FRESHNESS_BY_TYPE,
         "fd_documents_source_lang": SQL_FD_DOCUMENTS_SOURCE_LANG,
+        "reconcile_by_column_events": SQL_RECONCILE_BY_COLUMN,
+        "benford_values": _sql_benford(),
         "suite_dates": SQL_SUITE_DATES,
         "verdicts_by_source": SQL_VERDICTS_BY_SOURCE,
         "unique_lineitem": SQL_UNIQUE_LINEITEM,

@@ -569,3 +569,45 @@ def test_connected_components_hand_built_graph(spark):
     )
     got = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_reconcile_by_column_and_benford(spark):
+    from data_linter_spark.checks.quality import benford_test, first_digit_expr
+    from data_linter_spark.checks.reconcile import reconcile_by_column
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "k long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 9.0), (2, "y", 2.0)], "k long, s string, v double"
+    )
+    got = {r["column"]: r for r in reconcile_by_column(
+        a, b, ["k"]).collect()}
+    assert got["s"]["n_diff"] == 0 and got["v"]["n_diff"] == 1
+    assert got["v"]["diff_rate"] == 0.5
+
+    # first digits: 123->1, 0.045->4, 9->9, -250->2
+    fd = spark.createDataFrame(
+        [(123.0,), (0.045,), (9.0,), (-250.0,)], "x double"
+    ).select(first_digit_expr(F.col("x")).alias("d")).collect()
+    assert [r["d"] for r in fd] == [1, 4, 9, 2]
+
+    # a Benford-conformant sample: first-digit counts proportional to law
+    rows = []
+    import math
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 1.5,)] * n     # first digit of 1.5d is d for d<7
+    # simpler exact construction: value = d * 10^i keeps digit d
+    rows = []
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d),)] * n
+    df = spark.createDataFrame(rows, "x double")
+    r = benford_test(df, "x").collect()[0]
+    assert r["benford_ok"] is True and r["psi"] < 0.001
+
+    skew = spark.createDataFrame([(9.0,)] * 500, "x double")
+    r2 = benford_test(skew, "x").collect()[0]
+    assert r2["benford_ok"] is False
