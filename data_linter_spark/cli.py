@@ -58,6 +58,17 @@ def main(argv=None) -> int:
     sp = sub.add_parser("summary", help="verdict-log summary")
     sp.add_argument("--config", default="config.yaml")
 
+    sg = sub.add_parser(
+        "suggest",
+        help="profile a snapshot and emit metadata it satisfies "
+             "(pin it, then validate later snapshots against it)",
+    )
+    sg.add_argument("--input", required=True, help="parquet path / table")
+    sg.add_argument("--name", default="table")
+    sg.add_argument("--output", default=None,
+                    help="write metadata JSON here (default: stdout)")
+    sg.add_argument("--enum-max", type=int, default=20)
+
     args = p.parse_args(argv)
 
     if args.cmd == "run":
@@ -92,6 +103,22 @@ def main(argv=None) -> int:
         )
         print(json.dumps(summary, default=str))
         return 0 if summary["all_passed"] else 1
+
+    if args.cmd == "suggest":
+        from data_linter_spark.checks.suggest import suggest_metadata
+
+        spark = _spark(args)
+        meta = suggest_metadata(
+            spark.read.parquet(args.input), name=args.name,
+            enum_max=args.enum_max,
+        )
+        doc = json.dumps(meta, indent=2, default=str)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(doc)
+        else:
+            print(doc)
+        return 0
 
     if args.cmd == "summary":
         from data_linter_spark.log_explorer import summary_of_all_tables

@@ -64,3 +64,24 @@ def test_cli_run_config_lifecycle(spark, tmp_path, capsys):
     rc = main(["run", "--config", str(cfg)])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["all_tables_passed"] is True
+
+
+def test_cli_suggest_roundtrips_into_validation(spark, tmp_path, capsys):
+    """suggest writes a metadata file the snapshot itself passes."""
+    from data_linter_spark.validator import SparkValidator
+
+    inp = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, s string"
+    ).write.parquet(inp)
+    out_path = str(tmp_path / "meta.json")
+    rc = main(["suggest", "--input", inp, "--name", "snap",
+               "--output", out_path])
+    assert rc == 0
+    meta = json.loads(open(out_path).read())
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["k"]["unique"] is True
+    assert cols["s"]["enum"] == ["a", "b"]
+    v = SparkValidator(inp, {}, meta, spark=spark)
+    v.read_data_and_validate()
+    assert v.valid is True
