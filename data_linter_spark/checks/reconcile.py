@@ -139,3 +139,30 @@ def reconcile_by_column(
         for c in compare_cols
     ]
     return row.select(F.explode(F.array(*entries)).alias("__p")).select("__p.*")
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> dict:
+    """Structural snapshot comparison (no data scan — driver-side schema
+    objects only): ``{added, removed, retyped, reordered, identical}``.
+    The snapshot-vs-snapshot complement of SparkSchemaValidator's
+    metadata-vs-file check: run it before reconcile() to catch an upstream
+    that changed SHAPE, not just values."""
+    fa = {f.name: f.dataType for f in a.schema.fields}
+    fb = {f.name: f.dataType for f in b.schema.fields}
+    added = sorted(set(fb) - set(fa))
+    removed = sorted(set(fa) - set(fb))
+    retyped = {
+        n: {"from": fa[n].simpleString(), "to": fb[n].simpleString()}
+        for n in sorted(set(fa) & set(fb))
+        if fa[n] != fb[n]
+    }
+    order_a = [f.name for f in a.schema.fields if f.name in fb]
+    order_b = [f.name for f in b.schema.fields if f.name in fa]
+    reordered = order_a != order_b
+    return {
+        "added": added,
+        "removed": removed,
+        "retyped": retyped,
+        "reordered": reordered,
+        "identical": not (added or removed or retyped or reordered),
+    }

@@ -611,3 +611,18 @@ def test_reconcile_by_column_and_benford(spark):
     skew = spark.createDataFrame([(9.0,)] * 500, "x double")
     r2 = benford_test(skew, "x").collect()[0]
     assert r2["benford_ok"] is False
+
+
+def test_schema_diff(spark):
+    from data_linter_spark.checks.reconcile import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "k long, s string, v double")
+    assert schema_diff(a, a)["identical"] is True
+    b = spark.createDataFrame([(1, 2, "y")], "k long, v int, extra string")
+    d = schema_diff(a, b)
+    assert d["added"] == ["extra"] and d["removed"] == ["s"]
+    assert d["retyped"] == {"v": {"from": "double", "to": "int"}}
+    assert d["identical"] is False
+    # same cols, swapped order
+    c = spark.createDataFrame([("x", 1, 1.0)], "s string, k long, v double")
+    assert schema_diff(a, c)["reordered"] is True
