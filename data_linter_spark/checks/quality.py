@@ -24,11 +24,34 @@ def volume_anomaly(
     ``trailing`` buckets: ``(bucket_start, n_rows, trailing_mean,
     ratio, volume_ok)``. A bucket with fewer than ``min_ratio`` x the
     trailing mean is flagged (ingestion partially failed / upstream went
-    quiet). The window runs over the per-bucket count relation —
-    |buckets| rows, not |data|."""
+    quiet). The bucket axis is DENSIFIED between the observed min and max
+    (one ``sequence`` + explode over a one-row aggregate), so a bucket
+    with ZERO arrivals — the worst anomaly — appears with ``n_rows = 0``
+    and is flagged, instead of silently missing from the groupBy output.
+    The window runs over the per-bucket count relation — |buckets| rows,
+    not |data|."""
+    step = {
+        "day": F.expr("INTERVAL 1 DAY"),
+        "hour": F.expr("INTERVAL 1 HOUR"),
+        "week": F.expr("INTERVAL 7 DAY"),
+        "month": F.expr("INTERVAL 1 MONTH"),
+    }[bucket]
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
-    counts = df.filter(F.col(ts_col).isNotNull()).groupBy(b).agg(
+    observed = df.filter(F.col(ts_col).isNotNull()).groupBy(b).agg(
         F.count(F.lit(1)).alias("n_rows")
+    )
+    axis = (
+        observed.agg(
+            F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
+        )
+        .select(
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(
+                "bucket_start"
+            )
+        )
+    )
+    counts = axis.join(observed, on="bucket_start", how="left").select(
+        "bucket_start", F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows")
     )
     w = (
         Window.orderBy("bucket_start")

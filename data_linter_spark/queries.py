@@ -817,10 +817,19 @@ def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_VOLUME_ANOMALY_EVENTS = f"""
-WITH c AS (
+WITH obs AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
          CAST(count(*) AS BIGINT) AS n_rows
   FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(bucket_start) FROM obs),
+                                (SELECT max(bucket_start) FROM obs),
+                                INTERVAL 1 DAY)) AS bucket_start
+),
+c AS (
+  SELECT a.bucket_start, CAST(COALESCE(o.n_rows, 0) AS BIGINT) AS n_rows
+  FROM axis a LEFT JOIN obs o ON a.bucket_start = o.bucket_start
 ),
 t AS (
   SELECT bucket_start, n_rows,

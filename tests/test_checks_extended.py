@@ -626,3 +626,22 @@ def test_schema_diff(spark):
     # same cols, swapped order
     c = spark.createDataFrame([("x", 1, 1.0)], "s string, k long, v double")
     assert schema_diff(a, c)["reordered"] is True
+
+
+def test_volume_anomaly_flags_empty_bucket(spark):
+    """A day with ZERO arrivals must appear (densified axis) and be
+    flagged — previously it silently vanished from the groupBy output."""
+    from data_linter_spark.checks.quality import volume_anomaly
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d, n in [(1, 100), (2, 100), (4, 100)]:   # day 3 missing entirely
+        rows += [(f"2024-01-0{d} 12:00:00",)] * n
+    ev = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    va = {r["bucket_start"].day: r for r in volume_anomaly(
+        ev, "ts", trailing=7, min_ratio=0.5).collect()}
+    assert set(va) == {1, 2, 3, 4}
+    assert va[3]["n_rows"] == 0 and va[3]["volume_ok"] is False
+    assert va[4]["volume_ok"] is True
