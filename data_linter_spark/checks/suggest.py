@@ -40,9 +40,20 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType)
 
 
+_ARRAY_ELEMENT = {
+    T.IntegerType: "list<int32>",
+    T.LongType: "list<int64>",
+    T.FloatType: "list<float32>",
+    T.DoubleType: "list<float64>",
+    T.StringType: "list<string>",
+}
+
+
 def _mojap_type(dt: T.DataType) -> str:
-    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.IntegerType):
-        return "list<int32>"
+    if isinstance(dt, T.ArrayType):
+        for klass, name in _ARRAY_ELEMENT.items():
+            if isinstance(dt.elementType, klass):
+                return name
     for klass, name in _SPARK_TO_MOJAP.items():
         if isinstance(dt, klass):
             return name
