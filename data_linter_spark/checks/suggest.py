@@ -84,6 +84,15 @@ def suggest_metadata(
         elif isinstance(dt, T.StringType):
             aggs += [F.min(F.length(col)).alias(f"__minl__{c}"),
                      F.max(F.length(col)).alias(f"__maxl__{c}")]
+        elif isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, _NUMERIC
+        ):
+            # element bounds + array length bounds — the same vocabulary
+            # the tokens-table constraint suite validates
+            aggs += [F.min(F.array_min(col)).alias(f"__min__{c}"),
+                     F.max(F.array_max(col)).alias(f"__max__{c}"),
+                     F.min(F.size(col)).alias(f"__minl__{c}"),
+                     F.max(F.size(col)).alias(f"__maxl__{c}")]
     row = df.agg(*aggs).collect()[0].asDict()
     n = row["__n"]
 
@@ -97,6 +106,15 @@ def suggest_metadata(
             if row[f"__min__{c}"] is not None:
                 entry["minimum"] = row[f"__min__{c}"]
                 entry["maximum"] = row[f"__max__{c}"]
+        elif isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, _NUMERIC
+        ):
+            if row[f"__min__{c}"] is not None:
+                entry["minimum"] = row[f"__min__{c}"]
+                entry["maximum"] = row[f"__max__{c}"]
+            if row[f"__minl__{c}"] is not None:
+                entry["minLength"] = int(row[f"__minl__{c}"])
+                entry["maxLength"] = int(row[f"__maxl__{c}"])
         elif isinstance(dt, T.StringType):
             if row[f"__minl__{c}"] is not None:
                 entry["minLength"] = int(row[f"__minl__{c}"])

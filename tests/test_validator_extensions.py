@@ -398,3 +398,27 @@ def test_suggest_metadata_roundtrip(spark):
     assert r["k"]["nullable_test"]["valid"] is False     # null k
     assert r["s"]["enum_test"]["valid"] is False         # 'z' new value
     assert r["v"]["min_max_test"]["valid"] is False      # 9.9 > 7.5
+
+
+def test_suggest_metadata_array_element_bounds(spark):
+    """Array columns get element bounds + length bounds; perturbed arrays
+    fail against the pinned suggestion."""
+    from data_linter_spark.checks.suggest import suggest_metadata
+
+    df = spark.createDataFrame(
+        [(1, [1, 5, 9]), (2, [0, 3])], "k long, toks array<int>"
+    )
+    meta = suggest_metadata(df)
+    c = {x["name"]: x for x in meta["columns"]}["toks"]
+    assert c["type"] == "list<int32>"
+    assert (c["minimum"], c["maximum"]) == (0, 9)
+    assert (c["minLength"], c["maxLength"]) == (2, 3)
+    assert _validate(df, meta).valid is True
+
+    bad = spark.createDataFrame(
+        [(1, [1, 99]), (2, [0, 1, 2, 3, 4])], "k long, toks array<int>"
+    )
+    v = _validate(bad, meta)
+    r = v.get_response_dict()["toks"]
+    assert r["min_max_test"]["valid"] is False        # 99 > 9
+    assert r["min_max_length_test"]["valid"] is False  # len 5 > 3
