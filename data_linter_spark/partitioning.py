@@ -71,3 +71,27 @@ def repartition_for_key(
     else:
         n = df.sparkSession.sparkContext.defaultParallelism * 2
     return df.repartition(n, F.col(key))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist a relation bucketed (and optionally sorted) by its join/group
+    key — the layout that makes later joins and aggregations on that key
+    SHUFFLE-FREE: both sides of a join on bucketed tables with matching
+    bucket counts read co-located, so the plan has no Exchange (tested via
+    explain in tests/test_partitioning.py). At 10^12 rows this is THE lever
+    for repeated validation runs against the same reference dimensions:
+    bucket once, join forever without moving data. Bucketing requires the
+    session catalog (``saveAsTable``); on a cluster this is the
+    metastore-backed table, locally the warehouse dir."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, key
+    )
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)

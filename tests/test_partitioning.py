@@ -76,3 +76,41 @@ def test_collect_all_logs_concats_phases_in_order(tmp_path, spark):
     assert not os.path.exists(
         os.path.join(config["log-base-path"], "data_linter_temporary_fs")
     )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    WITHOUT an Exchange (the co-located join the 100TB design relies on);
+    an unbucketed baseline join of the same data does shuffle."""
+    from data_linter_spark.partitioning import write_bucketed
+    from pyspark.sql import functions as F
+
+    facts = spark.range(10000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    dims = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    write_bucketed(facts, "bk_facts", "k", n_buckets=4)
+    write_bucketed(dims, "bk_dims", "k", n_buckets=4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("bk_facts")
+            b = spark.table("bk_dims")
+            joined = a.join(b, on="k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == 10000
+
+            baseline = facts.join(dims, on="k")
+            base_plan = (
+                baseline._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" in base_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_facts")
+        spark.sql("DROP TABLE IF EXISTS bk_dims")
