@@ -22,7 +22,7 @@ on top of the Spark DataFrame API:
   ANN similarity search, text analysis, multimodal plumbing.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from data_linter_spark.metadata import Metadata  # noqa: F401
 from data_linter_spark.response import ValidatorResult  # noqa: F401
