@@ -610,3 +610,39 @@ def connected_components(
     bidir.unpersist()
     pairs.unpersist()
     return labels
+
+
+# -- benchmark contamination screen -----------------------------------------
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Corpus documents sharing at least ``min_overlap`` distinct word
+    n-grams with any benchmark document: ``(corpus_id, bench_id, overlap)``
+    — the test-set leakage screen a training pipeline runs before a data
+    release.
+
+    Scale shape is ASYMMETRIC by construction: the benchmark is small (an
+    eval set), so its exploded shingle relation is broadcast and the join
+    never shuffles the corpus — one map-side broadcast hash join over the
+    corpus shingle stream plus one (corpus_id, bench_id) count aggregation.
+    The corpus side stays a map-side explode exactly as in the dedup
+    family."""
+    c_sh = word_shingles(corpus, id_col, text_col, n).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    b_sh = word_shingles(benchmark, id_col, text_col, n).withColumnRenamed(
+        "id", "bench_id"
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), on="shingle")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= F.lit(min_overlap))
+    )

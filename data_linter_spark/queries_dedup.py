@@ -509,6 +509,73 @@ SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark contamination screen: corpus docs sharing >= K n-grams with a
+# small benchmark set. Benchmark = every 97th doc; corpus = the rest plus
+# PLANTED LEAKS (benchmark texts with a tail appended) — the screen must
+# find exactly the leaks.
+# ---------------------------------------------------------------------------
+
+CONTAM_BENCH_EVERY = 97
+CONTAM_MIN_OVERLAP = 8
+CONTAM_LEAK_TAIL = " leaked into the training set"
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_EVERY == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_EVERY != 0).unionAll(
+        bench.select(
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(CONTAM_LEAK_TAIL)).alias("text"),
+        )
+    )
+    return dd.contamination_pairs(
+        corpus, bench, "doc_id", "text", min_overlap=CONTAM_MIN_OVERLAP
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_EVERY} = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_BENCH_EVERY} <> 0
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         text || '{CONTAM_LEAK_TAIL}'
+  FROM bench
+),
+c_sh AS (
+  SELECT DISTINCT id AS corpus_id, shingle FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(0, len(string_split(text, ' ')) - 2),
+                  i -> string_split(text, ' ')[i + 1] || ' ' ||
+                       string_split(text, ' ')[i + 2] || ' ' ||
+                       string_split(text, ' ')[i + 3])) AS shingle
+    FROM corpus WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+b_sh AS (
+  SELECT DISTINCT id AS bench_id, shingle FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(0, len(string_split(text, ' ')) - 2),
+                  i -> string_split(text, ' ')[i + 1] || ' ' ||
+                       string_split(text, ' ')[i + 2] || ' ' ||
+                       string_split(text, ' ')[i + 3])) AS shingle
+    FROM bench WHERE len(string_split(text, ' ')) >= 3
+  )
+)
+SELECT c.corpus_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
+FROM c_sh c JOIN b_sh b ON c.shingle = b.shingle
+GROUP BY 1, 2
+HAVING count(*) >= {CONTAM_MIN_OVERLAP}
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -519,6 +586,7 @@ DEDUP_QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "corpus_filter": q_corpus_filter,
     "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
 }
 
 DEDUP_ORACLES = {
@@ -531,4 +599,5 @@ DEDUP_ORACLES = {
     "fingerprint_documents": SQL_FINGERPRINT,
     "corpus_filter": _sql_corpus_filter(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "contamination": SQL_CONTAMINATION,
 }

@@ -645,3 +645,21 @@ def test_volume_anomaly_flags_empty_bucket(spark):
     assert set(va) == {1, 2, 3, 4}
     assert va[3]["n_rows"] == 0 and va[3]["volume_ok"] is False
     assert va[4]["volume_ok"] is True
+
+
+def test_contamination_pairs_finds_planted_leak(spark):
+    from data_linter_spark.functions.dedup import contamination_pairs
+
+    bench_text = ("the quick brown fox jumps over the lazy dog while the "
+                  "cat watches from the tall fence near the old barn")
+    corpus = spark.createDataFrame(
+        [(1, bench_text + " with extra words appended at the end"),  # leak
+         (2, "completely different content about weather patterns and "
+             "atmospheric pressure systems over the northern ocean")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = contamination_pairs(corpus, bench, "doc_id", "text",
+                              min_overlap=8).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in got] == [(1, 100)]
+    assert got[0]["overlap"] >= 15   # most of the benchmark's shingles
