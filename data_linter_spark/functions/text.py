@@ -179,3 +179,29 @@ def corpus_retention_flags(
         lang_id(c).isin(list(langs)).alias("lang_ok"),
         (F.row_number().over(w) == 1).alias("first_in_group"),
     )
+
+
+def top_quality_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group data selection: the ``k`` highest-quality
+    documents of each group (quality desc, id asc tiebreak) with their
+    rank — the selection step of building a training mix ("take the best N
+    from each source"). One window per group over a quality projection;
+    reproducible because both sort keys are total orders."""
+    from pyspark.sql import Window
+
+    q = F.round(quality_score(F.col(text_col)), 6)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        df.select(group_col, id_col, q.alias("quality"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, "quality", F.col("rk").cast("int").alias("rk"))
+    )

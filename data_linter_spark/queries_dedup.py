@@ -576,6 +576,36 @@ HAVING count(*) >= {CONTAM_MIN_OVERLAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# data selection: top-k quality docs per source (the mixing step)
+# ---------------------------------------------------------------------------
+
+MIX_TOP_K = 3
+
+
+def q_mix_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.top_quality_per_group(docs, "source", "doc_id", "text", MIX_TOP_K)
+
+
+def _sql_mix_top_quality() -> str:
+    quality = _sql_quality_parts()["quality"]
+    return f"""
+WITH q AS (
+  SELECT source, doc_id, ROUND({quality}, 6) AS quality
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM q
+)
+SELECT source, doc_id, quality, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= {MIX_TOP_K}
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -587,6 +617,7 @@ DEDUP_QUERIES = {
     "corpus_filter": q_corpus_filter,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
+    "mix_top_quality": q_mix_top_quality,
 }
 
 DEDUP_ORACLES = {
@@ -600,4 +631,5 @@ DEDUP_ORACLES = {
     "corpus_filter": _sql_corpus_filter(),
     "dedup_clusters": _sql_dedup_clusters(),
     "contamination": SQL_CONTAMINATION,
+    "mix_top_quality": _sql_mix_top_quality(),
 }
