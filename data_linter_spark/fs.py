@@ -94,6 +94,7 @@ class HadoopFS:
             dst_fs.mkdirs(parent)
         in_stream = src_fs.open(self._path(src))
         out_stream = dst_fs.create(self._path(dst), True)
+        closed = False
         try:
             if compress and not src.endswith(".gz"):
                 gzip_out = self._jvm.java.util.zip.GZIPOutputStream(out_stream)
@@ -101,14 +102,22 @@ class HadoopFS:
                     in_stream, gzip_out, 65536, False
                 )
                 gzip_out.finish()
-                gzip_out.close()
+                gzip_out.close()  # closes the wrapped out_stream too
+                closed = True
             else:
                 self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
                     in_stream, out_stream, 65536, False
                 )
                 out_stream.close()
+                closed = True
         finally:
             in_stream.close()
+            if not closed:
+                # error path: release the half-written destination handle
+                try:
+                    out_stream.close()
+                except Exception:
+                    pass
 
     def move(self, src: str, dst: str, compress: bool = False) -> None:
         self.copy(src, dst, compress)
