@@ -87,6 +87,33 @@ CHECKS = {
         "pushed_notnull": lambda p: "IsNotNull" in p,
         "prunes_to_value": lambda p: "event_type" not in p,
     },
+    "contamination": {
+        # the small benchmark side is broadcast; corpus never shuffles
+        # into the join
+        "broadcast_benchmark": lambda p: "BroadcastHashJoin" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+    },
+    "corpus_filter": {
+        # quality/lang gates are map-side; the only wide op is the
+        # fingerprint window + final groupBy
+        "single_scan": lambda p: n_scans(p) == 1,
+    },
+    "dedup_embedding_cosine": {
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "arrow_vectorized": lambda p: "ArrowEvalPython" in p,
+    },
+    "latest_events_per_user": {
+        "single_scan": lambda p: n_scans(p) == 1,
+        "prunes_props": lambda p: "props" not in p,
+    },
+    "reconcile_events": {
+        "full_outer": lambda p: "FullOuter" in p,
+    },
+    "profile_events": {
+        "single_scan": lambda p: n_scans(p) == 1,
+        "prunes_props": lambda p: "props" not in p,
+    },
 }
 
 
