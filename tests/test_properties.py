@@ -126,3 +126,50 @@ def test_minhash_perm_values_in_range(sids):
         for sid in sids:
             v = (a * (sid % MERSENNE_P) + b) % MERSENNE_P
             assert 0 <= v < MERSENNE_P
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=150, deadline=None)
+def test_duckdb_md5_matches_python_utf8(s):
+    """Every dedup oracle rests on md5(text-as-utf8-bytes) agreeing across
+    engines — including non-ASCII documents (the corpus contains zh text).
+    DuckDB hashes the VARCHAR's UTF-8 bytes; Python hashes the encoded
+    string; Spark's md5(cast(text as binary)) is the same bytes."""
+    import hashlib
+
+    got = duckdb.execute("SELECT md5(?)", [s]).fetchone()[0]
+    assert got == hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+@given(st.integers(min_value=0, max_value=10**12),
+       st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_screen_verdict_sound(count, approx):
+    """The HLL screen may only claim dups_certain when duplicates truly
+    exist even at the sketch's worst-case overestimate: if the TRUE distinct
+    count equals the row count (all unique), a 3-sigma-bounded sketch value
+    must not trigger the claim."""
+    from data_linter_spark.checks.unique import HLL_RSD, screen_verdict
+
+    verdict = screen_verdict(count, approx)
+    assert verdict in ("dups_certain", "probably_unique")
+    # soundness: all-unique data with sketch error within ±3 sigma
+    if count > 0:
+        lo = int(count * (1 - 3 * HLL_RSD))
+        if approx >= lo:
+            assert screen_verdict(count, approx) == "probably_unique" or (
+                approx * (1 + 3 * HLL_RSD) < count
+            )
+
+
+@given(st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_histogram_probs_normalize(counts):
+    from data_linter_spark.checks.drift import HistogramProfile
+
+    h = HistogramProfile(0.0, 1.0, len(counts), list(counts))
+    p = h.probs()
+    assert len(p) == len(counts)
+    total = sum(p)
+    assert total == 0.0 or abs(total - 1.0) < 1e-9
