@@ -58,14 +58,23 @@ def volume_anomaly(
         .rowsBetween(-trailing, -1)
     )
     tm = F.avg("n_rows").over(w)
-    ratio = F.col("n_rows") / F.col("trailing_mean")
+    # trailing_mean == 0 (>= `trailing` consecutive empty buckets — an
+    # outage window) would make the plain division NULL under non-ANSI
+    # Spark, leaving volume_ok neither true nor false; pin ratio to NULL
+    # and verdict to "any rows at all?" so a continuing outage stays
+    # flagged and engines that yield inf for x/0 can't diverge.
+    tm_col = F.col("trailing_mean")
+    ratio = F.when(
+        tm_col > 0, F.round(F.col("n_rows") / tm_col, 4)
+    ).otherwise(F.lit(None).cast("double"))
     return (
         counts.withColumn("trailing_mean", F.round(tm, 4))
-        .withColumn("ratio", F.round(ratio, 4))
+        .withColumn("ratio", ratio)
         .withColumn(
             "volume_ok",
-            F.col("trailing_mean").isNull()
-            | (F.col("ratio") >= F.lit(min_ratio)),
+            F.when(tm_col.isNull(), F.lit(True))
+            .when(tm_col == 0, F.col("n_rows") > 0)
+            .otherwise(F.col("ratio") >= F.lit(min_ratio)),
         )
     )
 

@@ -83,6 +83,23 @@ class HadoopFS:
     def delete(self, p: str, recursive: bool = False) -> bool:
         return self._fs(p).delete(self._path(p), recursive)
 
+    def rename(self, src: str, dst: str, overwrite: bool = True) -> None:
+        """Rename src -> dst within one filesystem. Atomic on file:// and
+        hdfs:// (the checkpoint-record commit step relies on this); on
+        object stores (s3a://) rename is copy+delete — not atomic, but a
+        half-copied object never matches the final key name, so readers
+        that resolve records by exact name still never observe a partial
+        record. The Hadoop FileSystem API refuses to rename onto an
+        existing path, so ``overwrite`` deletes the destination first
+        (re-records of the same partition id are idempotent same-content
+        writes, making the non-atomic delete+rename window benign)."""
+        fs = self._fs(src)
+        dst_path = self._path(dst)
+        if overwrite and fs.exists(dst_path):
+            fs.delete(dst_path, False)
+        if not fs.rename(self._path(src), dst_path):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
     def copy(self, src: str, dst: str, compress: bool = False) -> None:
         """Copy src -> dst across any scheme pair (the reference's 4-way
         local/S3 matrix, utils.py:115-150), optionally gzip-compressing

@@ -36,6 +36,29 @@ from pyspark.sql import functions as F
 MERSENNE_P = 2_147_483_647  # 2^31 - 1; keeps a*x + b inside int64
 
 
+def _track_persisted(result: DataFrame, relations: list) -> DataFrame:
+    """Attach the persisted upstream relations to the returned DataFrame so
+    a long-lived session can release their executor storage once the result
+    is materialized (``release_persisted``). Without this, repeated dedup
+    calls accumulate cached shingle/fingerprint/signature relations until
+    memory/disk pressure evicts them the hard way."""
+    result._dls_persisted = list(relations)
+    return result
+
+
+def release_persisted(df: DataFrame) -> int:
+    """Unpersist the upstream relations a dedup-family function cached on
+    behalf of ``df`` (no-op for DataFrames without any). Call AFTER the
+    result has been materialized (collected / written); returns the number
+    of relations released."""
+    relations = getattr(df, "_dls_persisted", None) or []
+    for r in relations:
+        r.unpersist()
+    if relations:
+        df._dls_persisted = []
+    return len(relations)
+
+
 def _lcg_stream(seed: int):
     state = seed
     while True:
@@ -294,6 +317,7 @@ def ngram_jaccard_pairs(
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sh = sets.select("id", F.explode("shingles").alias("shingle"))
+    persisted = [sets] if cache else []
     cand_sh = sh
     if max_shingle_df is not None:
         hot = (
@@ -311,9 +335,10 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_for_pairs_sets(sets, cands).filter(
+    result = jaccard_for_pairs_sets(sets, cands).filter(
         F.col("jaccard") >= F.lit(min_jaccard)
     )
+    return _track_persisted(result, persisted)
 
 
 def minhash_near_dups(
@@ -341,9 +366,10 @@ def minhash_near_dups(
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures_from_sets(sets, n_hashes, seed)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return jaccard_for_pairs_sets(sets, cands).filter(
+    result = jaccard_for_pairs_sets(sets, cands).filter(
         F.col("jaccard") >= F.lit(min_jaccard)
     )
+    return _track_persisted(result, [sets] if cache else [])
 
 
 # -- simhash ----------------------------------------------------------------
@@ -440,9 +466,10 @@ def simhash_near_dups(
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return cands.select(
+    result = cands.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    return _track_persisted(result, [fps] if cache else [])
 
 
 # -- embedding near-dup -----------------------------------------------------
@@ -457,6 +484,7 @@ def embedding_near_dups(
     bands: int = 6,
     planes_per_band: int = 8,
     seed: int = 7,
+    cache: bool = True,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold via random-hyperplane LSH.
 
@@ -485,10 +513,14 @@ def embedding_near_dups(
         F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
     )
     # (id, band, key) is tiny; persisting evaluates the signature matmul
-    # once instead of once per self-join side
-    from pyspark.storagelevel import StorageLevel
+    # once instead of once per self-join side (release via
+    # release_persisted(result) once materialized)
+    persisted = []
+    if cache:
+        from pyspark.storagelevel import StorageLevel
 
-    melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
+        melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(melted)
     cands = (
         melted.alias("l")
         .join(melted.alias("r"), on=["band", "key"])
@@ -498,7 +530,7 @@ def embedding_near_dups(
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    result = (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
@@ -506,6 +538,7 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
+    return _track_persisted(result, persisted)
 
 
 def embedding_near_dups_exact(
@@ -530,6 +563,40 @@ def embedding_near_dups_exact(
 # -- duplicate clustering (connected components) ----------------------------
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC 2014): every node connects its STRICTLY LARGER
+    neighbors to the minimum of its neighborhood (incl. itself). One
+    groupBy + one join on the edge relation."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+    m = F.least(F.col("u"), F.col("__mn"))
+    return (
+        nbrs.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient edges large->small, then every node connects
+    ALL its (smaller-or-equal) neighbors plus itself to the minimum one."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("__mn"))
+    withm = oriented.join(mins, on="u")
+    nbr_edges = withm.select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    self_edges = mins.select("u", F.col("__mn").alias("v"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -540,74 +607,83 @@ def connected_components(
     where ``rep`` is the component's minimum id — the step that turns
     near-dup PAIRS into dedup CLUSTERS (keep ``rep``, drop the rest).
 
-    Iterative min-label propagation: every vertex starts labeled with its
-    own id; each round every vertex takes the min of its label and its
-    neighbors' labels; converges in O(component diameter) rounds (dup
-    clusters are near-cliques, so typically 2-3). Each round is one
-    join + one groupBy on the edge relation — the standard scalable CC
-    shape (GraphX/GraphFrames do the same under the hood); labels are
-    persisted per round and the loop stops when a round changes nothing
-    (one count per round — a scalar, not a collect of data).
+    Algorithm: alternating large-star / small-star (Kiveris et al. 2014) —
+    each round is two groupBy+join passes over the CURRENT edge relation,
+    and the edge set contracts toward a forest of stars rooted at each
+    component's minimum id. Convergence is O(log^2 n) rounds worst case and
+    ~O(log n) in practice **independent of component diameter** — a
+    chain-shaped dup graph (A≈B≈C≈... under transitive near-dup) that
+    plain min-label propagation needs diameter rounds for finishes in a
+    handful (tests: a 1000-node path converges in <= 12 rounds). Each
+    round's relation is ``localCheckpoint``-ed: the star operations
+    reference their input several times, so WITHOUT lineage truncation the
+    logical plan grows exponentially round-over-round and the DRIVER (not
+    the executors) dies cloning the tree — persist alone does not cut
+    lineage. (On a cluster where executor loss matters mid-job, set a
+    reliable ``sparkContext.setCheckpointDir`` and swap for
+    ``checkpoint()``.) The convergence check is a scalar count of the
+    symmetric difference, never a collect of data.
+
+    Raises ``RuntimeError`` if the edge set has not stabilized after
+    ``max_iter`` rounds — silently returning partial labels would hand the
+    dedup pipeline WRONG cluster representatives.
     """
     from pyspark.storagelevel import StorageLevel
 
-    # materialize the (possibly expensive) pair relation ONCE before the
-    # bidirectional union references it twice — without this the union's
-    # two branches race-compute the upstream pipeline in the same job
-    pairs = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    # canonical small->large orientation, self-loops dropped; persist so the
+    # (possibly expensive) upstream pair pipeline evaluates once
+    pairs = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_pairs = pairs.count()
     # size the per-round relations from the MEASURED graph: a dup graph is
-    # usually tiny relative to the corpus, and each propagation round is
-    # join+groupBy+count — at the default shuffle width the per-task
-    # overhead of ~32 near-empty partitions x rounds dominates the actual
-    # work. ~250k edges per partition keeps rounds cheap at small scale and
-    # still fans out for a genuinely huge dup graph.
-    spark = edges.sparkSession
+    # usually tiny relative to the corpus, and at the default shuffle width
+    # the per-task overhead of ~32 near-empty partitions x rounds dominates
+    # the actual work. ~250k edges per partition keeps rounds cheap at small
+    # scale and still fans out for a genuinely huge dup graph.
     default_par = spark.sparkContext.defaultParallelism
     parts = max(2, min(default_par * 2, n_pairs // 250_000 + 1))
-    bidir = (
-        pairs.union(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(parts, F.col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = (
-        bidir.select(F.col("src").alias("id"))
+    nodes = (
+        pairs.select("u")
+        .union(pairs.select(F.col("v").alias("u")))
         .distinct()
-        .select("id", F.col("id").alias("rep"))
+        .select(F.col("u").alias("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e = pairs.repartition(parts, "u").localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
-        neigh = (
-            bidir.join(labels, on=bidir["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("rep").alias("__nrep"))
+        new_e = (
+            _small_star(_large_star(e))
+            .repartition(parts, "u")
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.join(neigh, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("rep"), F.coalesce(F.col("__nrep"), F.col("rep")))
-                .alias("rep"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        # symmetric difference over the (small) edge relation — scalar only
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
+            new_e.subtract(e).union(e.subtract(new_e)).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        e = new_e
         if changed == 0:
+            converged = True
             break
-    # the convergence count materialized `labels`; the edge relations are no
-    # longer needed (avoids leaking cached relations per call)
-    bidir.unpersist()
+    if not converged:
+        nodes.unpersist()
+        pairs.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph is larger/denser than expected — raise max_iter"
+        )
+    # e is now a forest of stars (child -> component-min root); roots and
+    # isolated-in-e nodes label themselves
+    labels = (
+        nodes.join(e, on=nodes["id"] == e["u"], how="left")
+        .select("id", F.coalesce(F.col("v"), F.col("id")).alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
     pairs.unpersist()
     return labels
 
@@ -622,6 +698,7 @@ def contamination_pairs(
     text_col: str,
     n: int = 3,
     min_overlap: int = 8,
+    max_bench_shingles: Optional[int] = 5_000_000,
 ) -> DataFrame:
     """Corpus documents sharing at least ``min_overlap`` distinct word
     n-grams with any benchmark document: ``(corpus_id, bench_id, overlap)``
@@ -633,16 +710,35 @@ def contamination_pairs(
     never shuffles the corpus — one map-side broadcast hash join over the
     corpus shingle stream plus one (corpus_id, bench_id) count aggregation.
     The corpus side stays a map-side explode exactly as in the dedup
-    family."""
+    family.
+
+    The broadcast has a ceiling: past a few tens of millions of shingle
+    rows the broadcast relation no longer fits executor memory (Spark hard-
+    caps broadcasts at 8 GB) and every executor pays the full replication.
+    ``max_bench_shingles`` guards that — the benchmark shingle count is
+    measured first (one cheap job over the SMALL side only; the corpus is
+    untouched), and above the threshold the plan falls back to a shuffle
+    hash/sort-merge join keyed on the shingle — both relations hash-
+    partition on the join key, which is the standard big-big shape and
+    scales with cluster width instead of per-executor memory. ``None``
+    forces the broadcast unconditionally."""
     c_sh = word_shingles(corpus, id_col, text_col, n).withColumnRenamed(
         "id", "corpus_id"
     )
     b_sh = word_shingles(benchmark, id_col, text_col, n).withColumnRenamed(
         "id", "bench_id"
     )
-    return (
+    use_broadcast = True
+    if max_bench_shingles is not None:
+        n_bench = b_sh.limit(max_bench_shingles + 1).count()
+        use_broadcast = n_bench <= max_bench_shingles
+    joined = (
         c_sh.join(F.broadcast(b_sh), on="shingle")
-        .groupBy("corpus_id", "bench_id")
+        if use_broadcast
+        else c_sh.join(b_sh.hint("shuffle_hash"), on="shingle")
+    )
+    return (
+        joined.groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= F.lit(min_overlap))
     )

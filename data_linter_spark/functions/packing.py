@@ -26,6 +26,92 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_tok_col: str,
+    context_len: int = 2048,
+) -> DataFrame:
+    """Materialize the packing ASSIGNMENT (not just its accounting): which
+    context window each document's tokens land in under per-group
+    concat-and-chunk packing in deterministic ``order_col`` order.
+
+    Returns one row per document: ``(group, order, n_tok, start_offset,
+    seq_id, offset_in_seq, end_seq_id, n_seqs_spanned)`` where
+    ``start_offset`` is the document's first token position in the group's
+    concatenated stream, ``seq_id = floor(start_offset / L)`` is the window
+    holding that first token, ``offset_in_seq`` its position within the
+    window, and ``end_seq_id`` the window of the LAST token (==
+    ``seq_id`` unless the doc straddles). One window cumsum per group —
+    the same single-shuffle shape as :func:`packing_stats`; packing
+    requires a total order within the group, so the group hash shuffle is
+    the theoretical floor."""
+    L = F.lit(context_len).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    n_tok = F.col(n_tok_col).cast("long")
+    cum_end = F.sum(n_tok).over(w)
+    start = (cum_end - n_tok).alias("start_offset")
+    seq_id = F.floor(F.col("start_offset") / L)
+    end_seq = F.when(
+        n_tok > 0, F.floor((F.col("__cum_end") - 1) / L)
+    ).otherwise(F.floor(F.col("start_offset") / L))
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(order_col),
+            n_tok.alias(n_tok_col),
+            start,
+            cum_end.alias("__cum_end"),
+        )
+        .select(
+            group_col,
+            order_col,
+            n_tok_col,
+            "start_offset",
+            seq_id.alias("seq_id"),
+            F.pmod(F.col("start_offset"), L).cast("long").alias("offset_in_seq"),
+            end_seq.alias("end_seq_id"),
+        )
+        .withColumn(
+            "n_seqs_spanned",
+            (F.col("end_seq_id") - F.col("seq_id") + 1).cast("long"),
+        )
+    )
+
+
+def pack_sequence_sums(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_tok_col: str,
+    context_len: int = 2048,
+) -> DataFrame:
+    """Per-window token accounting derived from the assignment: ``(group,
+    seq_id, n_docs, seq_tokens)``. Every window must hold exactly
+    ``context_len`` tokens except each group's final partial window — the
+    invariant a training loader relies on. The doc->window fan-out is a
+    map-side explode over the spanned window range (n_seqs_spanned is tiny
+    for real documents), then one groupBy."""
+    L = F.lit(context_len).cast("long")
+    assigned = pack_sequences(df, group_col, order_col, n_tok_col, context_len)
+    spanned = assigned.filter(F.col(n_tok_col) > 0).select(
+        group_col,
+        "start_offset",
+        F.col(n_tok_col).cast("long").alias("__n_tok"),
+        F.explode(
+            F.sequence(F.col("seq_id"), F.col("end_seq_id"))
+        ).alias("seq_id"),
+    )
+    contrib = F.least(
+        F.col("start_offset") + F.col("__n_tok"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("start_offset"), F.col("seq_id") * L)
+    return spanned.groupBy(group_col, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(contrib).cast("long").alias("seq_tokens"),
+    )
+
+
 def packing_stats(
     df: DataFrame,
     group_col: str,

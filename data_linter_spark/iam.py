@@ -1,0 +1,145 @@
+"""IAM config generator — the reference's deployment-surface helper that
+turns a run config's paths into an iam_config YAML (and optionally a policy
+JSON) granting the linter role exactly the S3 access the run needs
+(reference data_linter/iam.py:7-62, expected shapes
+tests/data/expected/test_iam_*.yaml):
+
+- ``write_only``: the log base path (the run only appends logs there),
+- ``read_write``: land + pass (+ fail when configured) base paths,
+- ``athena.write: true`` so pass-side tables can be registered.
+
+The reference delegates policy-document rendering to the ``iam_builder``
+package; that dependency is skipped here — ``build_iam_policy`` emits a
+minimal, self-contained AWS policy document with the same access intent
+(PutObject for write-only, Get/Put/Delete/List for read-write). The YAML
+config shape is byte-compatible with the reference's output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import yaml
+
+
+def _strip_scheme(p: str) -> str:
+    """s3://bucket/key -> bucket/key (reference strips s3://; s3a:// is the
+    Spark-world spelling of the same bucket)."""
+    for scheme in ("s3://", "s3a://"):
+        if p.startswith(scheme):
+            return p[len(scheme):]
+    return p
+
+
+def build_iam_policy(iam_config: dict) -> dict:
+    """Minimal AWS IAM policy document from the iam_config dict — a
+    dependency-free stand-in for ``iam_builder.build_iam_policy`` with the
+    same access intent."""
+    s3 = iam_config.get("s3", {})
+    write_only = s3.get("write_only", [])
+    read_write = s3.get("read_write", [])
+
+    def arns(paths):
+        return [f"arn:aws:s3:::{p}" for p in paths]
+
+    def buckets(paths):
+        return sorted({p.split("/", 1)[0] for p in paths})
+
+    statements = []
+    if write_only:
+        statements.append({
+            "Sid": "WriteOnly",
+            "Effect": "Allow",
+            "Action": ["s3:PutObject"],
+            "Resource": arns(write_only),
+        })
+    if read_write:
+        statements.append({
+            "Sid": "ReadWrite",
+            "Effect": "Allow",
+            "Action": [
+                "s3:GetObject",
+                "s3:PutObject",
+                "s3:DeleteObject",
+            ],
+            "Resource": arns(read_write),
+        })
+    all_paths = list(write_only) + list(read_write)
+    if all_paths:
+        statements.append({
+            "Sid": "ListBuckets",
+            "Effect": "Allow",
+            "Action": ["s3:ListBucket", "s3:GetBucketLocation"],
+            "Resource": [
+                f"arn:aws:s3:::{b}" for b in buckets(all_paths)
+            ],
+        })
+    if iam_config.get("athena", {}).get("write"):
+        statements.append({
+            "Sid": "AthenaWrite",
+            "Effect": "Allow",
+            "Action": [
+                "athena:StartQueryExecution",
+                "athena:GetQueryExecution",
+                "athena:GetQueryResults",
+                "glue:GetTable",
+                "glue:CreateTable",
+                "glue:UpdateTable",
+            ],
+            "Resource": ["*"],
+        })
+    return {"Version": "2012-10-17", "Statement": statements}
+
+
+def generate_iam_config(
+    config: dict,
+    iam_config_output: str = "iam_config.yaml",
+    iam_policy_output: str | None = None,
+    overwrite_config: bool = False,
+) -> dict:
+    """Emit the iam_config YAML (and optionally the policy JSON) for a
+    loaded run config — reference data_linter/iam.py:7-62 semantics:
+    refuses to overwrite an existing config unless ``overwrite_config``,
+    and the policy path must end ``.json``. Returns the iam_config dict."""
+    if os.path.exists(iam_config_output) and overwrite_config is not True:
+        raise ValueError(
+            f"{iam_config_output} exists: to overwrite set overwrite_config=True"
+        )
+
+    log_path = _strip_scheme(config["log-base-path"])
+    land_path = _strip_scheme(config["land-base-path"])
+    pass_path = _strip_scheme(config["pass-base-path"])
+
+    read_write = [os.path.join(land_path, "*"), os.path.join(pass_path, "*")]
+
+    if config.get("fail-base-path"):
+        read_write.append(
+            os.path.join(_strip_scheme(config["fail-base-path"]), "*")
+        )
+
+    out_iam = {
+        "iam-role-name": config["iam-role-name"],
+        "athena": {"write": True},
+        "s3": {
+            "write_only": [os.path.join(log_path, "*")],
+            "read_write": read_write,
+        },
+    }
+
+    with open(iam_config_output, "w") as f:
+        yaml.dump(out_iam, f)
+
+    if iam_policy_output:
+        if iam_policy_output.endswith(".json"):
+            with open(iam_policy_output, "w") as f:
+                json.dump(
+                    build_iam_policy(out_iam),
+                    f,
+                    indent=4,
+                    separators=(",", ": "),
+                )
+        else:
+            raise ValueError("iam_policy_path should be a json file")
+
+    return out_iam

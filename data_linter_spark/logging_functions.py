@@ -38,10 +38,28 @@ def get_main_log_path_from_config(config: dict, ts: int = 0) -> str:
     return os.path.join(config["log-base-path"], f"data_linter_run_{ts}.log")
 
 
-def upload_log(log: logging.Logger, buf: io.StringIO, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        f.write(buf.getvalue())
+def upload_log(
+    log: logging.Logger, buf: io.StringIO, path: str, spark=None
+) -> None:
+    """Flush the buffered run log to ``path``. Scheme-aware: any
+    ``file://``/``hdfs://``/``s3a://`` path (or any path while a
+    SparkSession is live) goes through HadoopFS — the reference uploads
+    its buffer to S3 (reference data_linter/logging_functions.py:51-69).
+    Plain local write remains the no-session fallback so log flushing
+    still works after ``spark.stop()``."""
+    use_hadoop = spark is not None or "://" in path
+    if not use_hadoop and "://" not in path:
+        from pyspark.sql import SparkSession
+
+        use_hadoop = SparkSession.getActiveSession() is not None
+    if use_hadoop:
+        from data_linter_spark.fs import HadoopFS
+
+        HadoopFS(spark).write_text(path, buf.getvalue())
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
 
 
 PHASE_ORDER = ("init", "val", "status")

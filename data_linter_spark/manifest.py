@@ -44,11 +44,31 @@ def partition_id_of(value) -> str:
 
 class PartitionManifest:
     """Append-only manifest: one JSON file per partition, written atomically
-    (tmp + rename) so a killed run never leaves a half-record."""
+    (tmp + rename) so a killed run never leaves a half-record.
 
-    def __init__(self, path: str):
+    The record store is SCHEME-AWARE: a bare local path uses ``os.*``
+    directly (no JVM round-trips, works without a SparkSession — e.g. a
+    driver-side planner process), while a ``file://``/``hdfs://``/
+    ``s3a://`` path routes every byte through :class:`HadoopFS`, which is
+    how the checkpoint/resume protocol runs on a real cluster — the
+    reference's whole status protocol lives on S3
+    (reference data_linter/validation.py:450-495). Atomicity: tmp +
+    rename, atomic on file/hdfs; on s3a rename is copy+delete but a
+    half-copied object never matches the final record name (see
+    ``HadoopFS.rename``). Pass ``fs`` to inject a HadoopFS (or any object
+    with the same surface) explicitly."""
+
+    def __init__(self, path: str, fs=None):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        if fs is None and "://" in path:
+            from data_linter_spark.fs import HadoopFS
+
+            fs = HadoopFS()
+        self._fs = fs
+        if self._fs is not None:
+            self._fs.mkdirs(path)
+        else:
+            os.makedirs(path, exist_ok=True)
 
     def _rec_path(self, partition_id: str) -> str:
         """Collision-free record filename: percent-encoding is injective and
@@ -59,14 +79,32 @@ class PartitionManifest:
         digest = hashlib.md5(pid.encode()).hexdigest()[:8]
         return os.path.join(self.path, f"part-{safe}-{digest}.json")
 
+    def _list_record_files(self) -> list[str]:
+        """Full paths of committed record files, sorted by name."""
+        if self._fs is not None:
+            return [
+                p
+                for p in self._fs.list_files(self.path, ext=".json")
+                if os.path.basename(p).startswith("part-")
+            ]
+        return [
+            os.path.join(self.path, f)
+            for f in sorted(os.listdir(self.path))
+            if f.startswith("part-") and f.endswith(".json")
+        ]
+
+    def _read_json(self, p: str) -> dict:
+        if self._fs is not None:
+            return json.loads(self._fs.read_text(p))
+        with open(p) as fh:
+            return json.load(fh)
+
     def done_partitions(self) -> set[str]:
         done = set()
-        for f in os.listdir(self.path):
-            if f.startswith("part-") and f.endswith(".json"):
-                with open(os.path.join(self.path, f)) as fh:
-                    rec = json.load(fh)
-                if rec.get("status") in ("pass", "fail"):
-                    done.add(rec["partition_id"])
+        for p in self._list_record_files():
+            rec = self._read_json(p)
+            if rec.get("status") in ("pass", "fail"):
+                done.add(rec["partition_id"])
         return done
 
     def record(
@@ -84,18 +122,18 @@ class PartitionManifest:
             "engine_version": __version__,
             "ts": time.time(),
         }
-        tmp = self._rec_path(partition_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, self._rec_path(partition_id))
+        final = self._rec_path(partition_id)
+        tmp = final + ".tmp"
+        if self._fs is not None:
+            self._fs.write_text(tmp, json.dumps(rec))
+            self._fs.rename(tmp, final)
+        else:
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, final)
 
     def records(self) -> list[dict]:
-        out = []
-        for f in sorted(os.listdir(self.path)):
-            if f.startswith("part-") and f.endswith(".json"):
-                with open(os.path.join(self.path, f)) as fh:
-                    out.append(json.load(fh))
-        return out
+        return [self._read_json(p) for p in self._list_record_files()]
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Manifest as a DataFrame for verdict exploration (the graft's
@@ -239,12 +277,28 @@ def _run_global_checks(
 
     from data_linter_spark.checks.quality import fd_violations
     from data_linter_spark.checks.referential import referential_test_result
-    from data_linter_spark.checks.unique import unique_test_result
+    from data_linter_spark.checks.unique import (
+        unique_test_result,
+        uniqueness_screen_exprs,
+    )
 
     results: dict = {}
+    screen_row = None
+    if unique_cols:
+        # ONE shared scan computes (count, approx_distinct) for every
+        # unique column — the HLL screen the north_star specifies. With
+        # screen_only the exact groupBy pass is skipped entirely per
+        # column (the flag's cost-saving point at 10^12 rows); otherwise
+        # the screen verdict is recorded alongside the exact counts.
+        exprs = [e for c in unique_cols for e in uniqueness_screen_exprs(c)]
+        screen_row = df.agg(*exprs).collect()[0]
     for c in unique_cols:
+        counters = (
+            int(screen_row[f"__uq_count__{c}"]),
+            int(screen_row[f"__uq_approx__{c}"]),
+        )
         results[f"{c}.unique_test"] = unique_test_result(
-            df, c, screen_only=unique_screen_only
+            df, c, screen_counters=counters, screen_only=unique_screen_only
         )
     for name, ref in ref_specs:
         entry = (ref_tables or {}).get(ref["table"])

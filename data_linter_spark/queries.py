@@ -549,6 +549,78 @@ GROUP BY source
 """.replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.packing import pack_sequences
+
+    toks = tokens_from_documents(spark, sf_dir)
+    return pack_sequences(toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {{TOKENS_CTE}},
+c AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         SUM(CAST(n_tok AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+  FROM tokens_tbl
+),
+a AS (
+  SELECT source, doc_id, n_tok,
+         cum_end - n_tok AS start_offset,
+         CAST(floor((cum_end - n_tok) / {PACK_CONTEXT_LEN}.0) AS BIGINT)
+             AS seq_id,
+         (cum_end - n_tok) % {PACK_CONTEXT_LEN} AS offset_in_seq,
+         CASE WHEN n_tok > 0
+              THEN CAST(floor((cum_end - 1) / {PACK_CONTEXT_LEN}.0) AS BIGINT)
+              ELSE CAST(floor((cum_end - n_tok) / {PACK_CONTEXT_LEN}.0)
+                        AS BIGINT)
+         END AS end_seq_id
+  FROM c
+)
+SELECT source, doc_id, n_tok, start_offset, seq_id, offset_in_seq,
+       end_seq_id, end_seq_id - seq_id + 1 AS n_seqs_spanned
+FROM a
+""".replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
+
+
+def q_pack_sequence_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.packing import pack_sequence_sums
+
+    toks = tokens_from_documents(spark, sf_dir)
+    return pack_sequence_sums(
+        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN
+    )
+
+
+SQL_PACK_SEQUENCE_SUMS = f"""
+WITH {{TOKENS_CTE}},
+c AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         SUM(CAST(n_tok AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+  FROM tokens_tbl
+),
+a AS (
+  SELECT source, cum_end - n_tok AS start_offset, n_tok,
+         CAST(floor((cum_end - n_tok) / {PACK_CONTEXT_LEN}.0) AS BIGINT)
+             AS s0,
+         CAST(floor((cum_end - 1) / {PACK_CONTEXT_LEN}.0) AS BIGINT) AS s1
+  FROM c WHERE n_tok > 0
+),
+x AS (
+  SELECT source, start_offset, n_tok,
+         unnest(range(s0, s1 + 1)) AS seq_id
+  FROM a
+)
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(start_offset + n_tok, (seq_id + 1) * {PACK_CONTEXT_LEN})
+                - GREATEST(start_offset, seq_id * {PACK_CONTEXT_LEN}))
+            AS BIGINT) AS seq_tokens
+FROM x GROUP BY source, seq_id
+""".replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
+
+
 # ---------------------------------------------------------------------------
 # 2d. column profiling (deequ-style): the numbers constraints are declared
 #     FROM — one fused pass for every column's metrics
@@ -839,9 +911,12 @@ t AS (
   FROM c
 )
 SELECT bucket_start, n_rows, trailing_mean,
-       ROUND(n_rows / trailing_mean, 4) AS ratio,
-       (trailing_mean IS NULL
-        OR n_rows / trailing_mean >= {VOL_MIN_RATIO}) AS volume_ok
+       CASE WHEN trailing_mean > 0
+            THEN ROUND(n_rows / trailing_mean, 4) END AS ratio,
+       CASE WHEN trailing_mean IS NULL THEN TRUE
+            WHEN trailing_mean = 0 THEN n_rows > 0
+            ELSE n_rows / trailing_mean >= {VOL_MIN_RATIO}
+       END AS volume_ok
 FROM t
 """
 
@@ -1301,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "events_hourly_verdicts": q_events_hourly_verdicts,
         "packing_stats": q_packing_stats,
+        "pack_sequences": q_pack_sequences,
+        "pack_sequence_sums": q_pack_sequence_sums,
         "profile_events": q_profile_events,
         "top_users": q_top_users,
         "session_stats": q_session_stats,
@@ -1331,6 +1408,8 @@ def oracle_sql() -> dict[str, str]:
         "suite_tokens": SQL_SUITE_TOKENS,
         "suite_tokens_invariants": SQL_SUITE_TOKENS_INVARIANTS,
         "packing_stats": SQL_PACKING_STATS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_sequence_sums": SQL_PACK_SEQUENCE_SUMS,
         "profile_events": _sql_profile_events(),
         "top_users": SQL_TOP_USERS,
         "session_stats": SQL_SESSION_STATS,

@@ -192,12 +192,18 @@ def parse_data_to_spark(
     if raise_column_error:
         raise ColumnError(err_msg)
 
-    # row-limit sample (pandas_validator.py:474-478); deterministic limit()
-    # instead of pandas random sample — recorded divergence, tests assert
-    # counts only
+    # row-limit sample (pandas_validator.py:474-478): the reference takes a
+    # RANDOM sample of exactly min(row_limit, n) rows (df.sample(n) with a
+    # pre-clamp). Seeded rand + limit reproduces that — random row choice,
+    # exact count, deterministic per seed (reproducible runs; override via
+    # table_params['sample-seed']). Scale shape: orderBy(rand).limit(k)
+    # compiles to TakeOrderedAndProject — a per-partition top-k heap plus a
+    # driver merge of k rows/partition, NOT a global sort shuffle, so it
+    # holds at any input size for validation-sized k.
     row_limit = table_params.get("row-limit")
     if row_limit:
-        df = df.limit(int(row_limit))
+        seed = int(table_params.get("sample-seed", 42))
+        df = df.orderBy(F.rand(seed)).limit(int(row_limit))
 
     # cast to schema for non-parquet (pandas_validator.py:480-481)
     cast_checked_cols: list[str] = []

@@ -417,6 +417,49 @@ def test_packing_stats_hand_computed(spark):
     assert b["packing_efficiency"] == round(25 / 30, 4)
 
 
+def test_pack_sequences_assignment_and_sums(spark):
+    """Same hand data as packing_stats: L=10, group a docs 4/8/6/2 tokens.
+    Assignment: d1 seq0@0, d2 seq0@4 (straddles into seq1), d3 seq1@2,
+    d4 seq1@8. Per-seq sums: every window holds exactly L tokens except
+    each group's final partial window."""
+    from data_linter_spark.functions.packing import (
+        pack_sequence_sums,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "d1", 4), ("a", "d2", 8), ("a", "d3", 6), ("a", "d4", 2),
+         ("b", "d1", 25)],
+        "src string, doc_id string, n_tok int",
+    )
+    got = {
+        (r["src"], r["doc_id"]): r
+        for r in pack_sequences(
+            df, "src", "doc_id", "n_tok", context_len=10
+        ).collect()
+    }
+    a2 = got[("a", "d2")]
+    assert (a2["seq_id"], a2["offset_in_seq"], a2["end_seq_id"],
+            a2["n_seqs_spanned"]) == (0, 4, 1, 2)
+    a3 = got[("a", "d3")]
+    assert (a3["seq_id"], a3["offset_in_seq"], a3["end_seq_id"]) == (1, 2, 1)
+    b1 = got[("b", "d1")]
+    assert (b1["seq_id"], b1["end_seq_id"], b1["n_seqs_spanned"]) == (0, 2, 3)
+
+    sums = pack_sequence_sums(
+        df, "src", "doc_id", "n_tok", context_len=10
+    ).collect()
+    by_key = {(r["src"], r["seq_id"]): r for r in sums}
+    assert by_key[("a", 0)]["seq_tokens"] == 10
+    assert by_key[("a", 1)]["seq_tokens"] == 10
+    assert by_key[("b", 2)]["seq_tokens"] == 5  # final partial window
+    # invariant: every non-final window per group is exactly full
+    last = {"a": 1, "b": 2}
+    for (src, seq), r in by_key.items():
+        if seq != last[src]:
+            assert r["seq_tokens"] == 10, (src, seq)
+
+
 def test_numeric_profile_hand_computed(spark):
     from data_linter_spark.checks.profile import numeric_profile
 
@@ -571,6 +614,37 @@ def test_connected_components_hand_built_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 1000-node path graph has diameter 999 — plain min-label
+    propagation would need ~999 rounds; the alternating large-star /
+    small-star algorithm must finish within O(log n) rounds (12 here),
+    labeling every node with the chain's minimum id."""
+    from data_linter_spark.functions.dedup import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, max_iter=12)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["rep"] == 0 for r in rows)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Partial labels must never be returned silently (ADVICE r2): an
+    iteration budget too small for the graph raises instead."""
+    import pytest
+
+    from data_linter_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_reconcile_by_column_and_benford(spark):
     from data_linter_spark.checks.quality import benford_test, first_digit_expr
     from data_linter_spark.checks.reconcile import reconcile_by_column
@@ -663,3 +737,35 @@ def test_contamination_pairs_finds_planted_leak(spark):
                               min_overlap=8).collect()
     assert [(r["corpus_id"], r["bench_id"]) for r in got] == [(1, 100)]
     assert got[0]["overlap"] >= 15   # most of the benchmark's shingles
+
+
+def test_contamination_broadcast_guard(spark):
+    """Above max_bench_shingles the contamination screen must drop the
+    broadcast and use a shuffle join on the shingle — same answers, plan
+    that survives an oversized benchmark (VERDICT r2 #7)."""
+    from data_linter_spark.functions.dedup import contamination_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "id long, text string",
+    )
+    kw = dict(n=3, min_overlap=2)
+
+    bc = contamination_pairs(corpus, bench, "id", "text", **kw)
+    plan_bc = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bc
+
+    sh = contamination_pairs(
+        corpus, bench, "id", "text", max_bench_shingles=1, **kw
+    )
+    plan_sh = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_sh
+    assert ("ShuffledHashJoin" in plan_sh) or ("SortMergeJoin" in plan_sh)
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(bc) == rows(sh) == [(1, 100, 4)]

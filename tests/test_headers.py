@@ -136,3 +136,79 @@ def test_header_case_with_meta(
     )
     v.read_data_and_validate()
     assert v.valid == expected
+
+
+@pytest.mark.parametrize(
+    "file_name, expect_header, row_limit, exp_row_limit",
+    [
+        ("rl_table1.csv", True, 9, 9),
+        ("rl_table1.csv", True, 10, 10),
+        ("rl_table1.csv", True, 100, 10),
+        ("rl_table1_no_header.csv", False, 9, 9),
+        ("rl_table1_no_header.csv", False, 10, 10),
+        ("rl_table1_no_header.csv", False, 100, 10),
+        ("rl_table2.jsonl", False, 9, 9),
+        ("rl_table2.jsonl", False, 10, 10),
+        ("rl_table2.jsonl", False, 100, 10),
+    ],
+)
+def test_row_limits(
+    spark, tmp_path, file_name, expect_header, row_limit, exp_row_limit
+):
+    """Ports the reference row-limit matrix
+    (tests/test_pandas_validator.py:351-404): a row-limit takes a RANDOM
+    sample of exactly min(limit, n) rows."""
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.sources.readers import parse_data_to_spark
+
+    rows10 = [
+        f"{10 + i},cat,u{i}@example.com,2013-01-14 15:54:20,1993-09-27"
+        for i in range(10)
+    ]
+    (tmp_path / "rl_table1.csv").write_text(
+        "my_int,animal,my_email,my_datetime,my_date\n" + "\n".join(rows10) + "\n"
+    )
+    (tmp_path / "rl_table1_no_header.csv").write_text("\n".join(rows10) + "\n")
+    (tmp_path / "rl_table2.jsonl").write_text(
+        "\n".join(json.dumps(dict(J_ROW, employee_id=100000 + i))
+                  for i in range(10)) + "\n"
+    )
+
+    meta = Metadata(TABLE1_META if "table1" in file_name else TABLE2_META)
+    params = {"expect-header": expect_header, "row-limit": row_limit}
+    df, _, _ = parse_data_to_spark(
+        spark, str(tmp_path / file_name), params, meta
+    )
+    assert df.count() == exp_row_limit
+
+
+def test_row_limit_sample_is_random_and_seed_stable(spark, tmp_path):
+    """The sample is a random subset (not the file head) and deterministic
+    per seed — the reference's random-sample intent plus reproducibility."""
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.sources.readers import parse_data_to_spark
+
+    path = tmp_path / "rs.csv"
+    path.write_text(
+        "my_int,animal,my_email,my_datetime,my_date\n"
+        + "\n".join(
+            f"{i},cat,u{i}@example.com,2013-01-14 15:54:20,1993-09-27"
+            for i in range(10, 110)
+        )
+        + "\n"
+    )
+    meta = Metadata(TABLE1_META)
+
+    def sample(seed):
+        df, _, _ = parse_data_to_spark(
+            spark, str(path),
+            {"expect-header": True, "row-limit": 10, "sample-seed": seed},
+            meta,
+        )
+        return sorted(int(r["my_int"]) for r in df.select("my_int").collect())
+
+    s42a, s42b, s7 = sample(42), sample(42), sample(7)
+    assert len(s42a) == 10 and s42a == s42b          # deterministic per seed
+    assert s7 != s42a                                 # seed changes the draw
+    assert s42a != list(range(10, 20))                # not just the head
+    assert set(s42a) <= set(range(10, 110))

@@ -1,0 +1,119 @@
+"""IAM config generator parity with reference data_linter/iam.py
+(expected shapes: reference tests/data/expected/test_iam_*.yaml,
+tests/test_generate_iam_config.py)."""
+
+import json
+
+import pytest
+import yaml
+
+from data_linter_spark.config import load_and_validate_config
+from data_linter_spark.iam import build_iam_policy, generate_iam_config
+
+BASE_CONFIG = {
+    "iam-role-name": "test_iam_policy",
+    "land-base-path": "s3://land-bucket/my-folder/",
+    "fail-base-path": "s3://fail-bucket/my-folder/",
+    "pass-base-path": "s3://pass-bucket/my-folder/",
+    "log-base-path": "s3://log-bucket/my-folder/",
+    "compress-data": True,
+    "remove-tables-on-pass": True,
+    "all-must-pass": True,
+    "tables": {"table1": {"required": True, "pattern": None}},
+}
+
+# the reference's expected YAML fixtures, verbatim shape
+EXPECTED_WITH_FAIL = {
+    "athena": {"write": True},
+    "iam-role-name": "test_iam_policy",
+    "s3": {
+        "read_write": [
+            "land-bucket/my-folder/*",
+            "pass-bucket/my-folder/*",
+            "fail-bucket/my-folder/*",
+        ],
+        "write_only": ["log-bucket/my-folder/*"],
+    },
+}
+
+EXPECTED_NO_FAIL = {
+    "athena": {"write": True},
+    "iam-role-name": "test_iam_policy",
+    "s3": {
+        "read_write": [
+            "land-bucket/my-folder/*",
+            "pass-bucket/my-folder/*",
+        ],
+        "write_only": ["log-bucket/my-folder/*"],
+    },
+}
+
+
+@pytest.mark.parametrize(
+    "drop_fail, expected",
+    [(False, EXPECTED_WITH_FAIL), (True, EXPECTED_NO_FAIL)],
+)
+def test_generate_iam_config_matches_reference_shape(
+    tmp_path, drop_fail, expected
+):
+    cfg = {k: v for k, v in BASE_CONFIG.items()}
+    if drop_fail:
+        cfg.pop("fail-base-path")
+    config = load_and_validate_config(cfg)
+    out = str(tmp_path / "test_iam.yaml")
+    generate_iam_config(config, out, overwrite_config=True)
+    with open(out) as f:
+        assert yaml.safe_load(f) == expected
+
+
+def test_generate_iam_config_refuses_overwrite(tmp_path):
+    config = load_and_validate_config(dict(BASE_CONFIG))
+    out = str(tmp_path / "iam.yaml")
+    generate_iam_config(config, out)
+    with pytest.raises(ValueError, match="overwrite_config=True"):
+        generate_iam_config(config, out)
+    generate_iam_config(config, out, overwrite_config=True)  # explicit ok
+
+
+def test_generate_iam_policy_json(tmp_path):
+    config = load_and_validate_config(dict(BASE_CONFIG))
+    out_yaml = str(tmp_path / "iam.yaml")
+    out_json = str(tmp_path / "iam_policy.json")
+
+    with pytest.raises(ValueError, match="json"):
+        generate_iam_config(
+            config, out_yaml, iam_policy_output=str(tmp_path / "p.txt")
+        )
+
+    generate_iam_config(
+        config, out_yaml, iam_policy_output=out_json, overwrite_config=True
+    )
+    with open(out_json) as f:
+        policy = json.load(f)
+    assert policy["Version"] == "2012-10-17"
+    sids = {s["Sid"]: s for s in policy["Statement"]}
+    assert sids["WriteOnly"]["Action"] == ["s3:PutObject"]
+    assert sids["WriteOnly"]["Resource"] == [
+        "arn:aws:s3:::log-bucket/my-folder/*"
+    ]
+    assert "s3:GetObject" in sids["ReadWrite"]["Action"]
+    assert "arn:aws:s3:::fail-bucket/my-folder/*" in sids["ReadWrite"]["Resource"]
+    assert "arn:aws:s3:::land-bucket" in sids["ListBuckets"]["Resource"]
+    assert "AthenaWrite" in sids
+
+
+def test_build_iam_policy_s3a_and_empty():
+    # s3a:// (Spark-world spelling) strips like s3://
+    cfg = dict(BASE_CONFIG)
+    cfg["land-base-path"] = "s3a://land-bucket/my-folder/"
+    config = load_and_validate_config(cfg)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        out = generate_iam_config(
+            config, os.path.join(d, "i.yaml"), overwrite_config=True
+        )
+    assert out["s3"]["read_write"][0] == "land-bucket/my-folder/*"
+
+    # empty iam_config -> policy with no statements
+    assert build_iam_policy({}) == {"Version": "2012-10-17", "Statement": []}

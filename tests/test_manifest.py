@@ -217,3 +217,88 @@ def test_global_checks_in_partitioned_run(spark, tmp_path):
     assert s2["partitions_validated"] == 0
     assert s2["global_checks"] == {"skipped_resume": True}
     assert s2["all_passed"] is False
+
+
+def test_manifest_over_hadoopfs_file_scheme(spark, tmp_path):
+    """The checkpoint store routed through HadoopFS on a file:// URI — the
+    exact code path an s3a://hdfs:// manifest takes on a cluster. Resume
+    semantics must be identical to the local-os store, and the atomic
+    commit (tmp + rename) must leave no .tmp files behind."""
+    import os
+
+    from data_linter_spark.metadata import Metadata
+
+    path = f"file://{tmp_path}/manifest_fs"
+    m = PartitionManifest(path)
+    assert m._fs is not None  # scheme-qualified path auto-routes HadoopFS
+    df = _df(spark)
+    meta = Metadata(META)
+    validate_partitioned(
+        spark, df.filter("src < 2"), meta, "src", m, batch_size=10
+    )
+    assert m.done_partitions() == {"0", "1"}
+
+    # a FRESH manifest object over the same URI resumes (nothing cached
+    # driver-side — the state lives in the filesystem, as on a cluster)
+    m2 = PartitionManifest(path)
+    summary = validate_partitioned(spark, df, meta, "src", m2, batch_size=10)
+    assert summary["partitions_skipped_resume"] == 2
+    assert summary["partitions_validated"] == 5
+    recs = {r["partition_id"]: r for r in m2.records()}
+    assert len(recs) == 7 and recs["0"]["status"] == "fail"
+    local_dir = str(tmp_path / "manifest_fs")
+    assert not [f for f in os.listdir(local_dir) if f.endswith(".tmp")]
+
+    # byte-identical verdicts vs the local-os store on the same data
+    m3 = PartitionManifest(str(tmp_path / "manifest_os"))
+    validate_partitioned(spark, df, meta, "src", m3, batch_size=10)
+    strip = lambda rs: sorted(
+        (r["partition_id"], r["status"], json.dumps(r["metrics"], sort_keys=True))
+        for r in rs
+    )
+    assert strip(m2.records()) == strip(m3.records())
+
+
+def test_global_unique_screen_only_skips_exact_pass(spark, tmp_path, monkeypatch):
+    """--unique-screen-only must actually short-circuit the exact
+    duplicate_stats pass in the global phase (ADVICE r2: the flag was
+    inert) while still recording an HLL screen verdict."""
+    from data_linter_spark.checks import unique as unique_mod
+    from data_linter_spark.metadata import Metadata
+
+    calls = []
+    real = unique_mod.duplicate_stats
+    monkeypatch.setattr(
+        unique_mod, "duplicate_stats",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    df = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p2", 1), ("p2", 3)], "src string, k long"
+    )
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "src", "type": "string"},
+            {"name": "k", "type": "int64", "unique": True},
+        ],
+    })
+    s = validate_partitioned(
+        spark, df, meta, "src", PartitionManifest(str(tmp_path / "m1")),
+        unique_screen_only=True,
+    )
+    res = s["global_checks"]["k.unique_test"]
+    assert calls == []  # exact pass skipped — the flag's point at scale
+    assert "screen" in res and res["screen"]["verdict"] in (
+        "dups_certain", "probably_unique"
+    )
+    assert res["valid"] is not None
+
+    # without the flag the exact pass runs and catches the cross-partition
+    # duplicate the screen's 3-sigma band can miss at this tiny n
+    s2 = validate_partitioned(
+        spark, df, meta, "src", PartitionManifest(str(tmp_path / "m2")),
+    )
+    assert calls  # exact pass ran
+    res2 = s2["global_checks"]["k.unique_test"]
+    assert res2["valid"] is False and res2["duplicate_keys"] == 1
+    assert "screen" in res2  # screen verdict recorded alongside

@@ -45,6 +45,20 @@ def test_logging_functions(tmp_path):
     assert "plain" in content and str(tmp_path) not in content
 
 
+def test_upload_log_scheme_aware(tmp_path, spark):
+    """upload_log routes through HadoopFS for scheme-qualified paths (the
+    reference uploads its buffer to S3 — logging_functions.py:51-69); a
+    file:// URI exercises the identical code path s3a:// takes."""
+    from data_linter_spark.logging_functions import logging_setup, upload_log
+
+    log, buf = logging_setup("t_log_fs")
+    log.info("to the object store", extra={"context": "RUN"})
+    path = f"file://{tmp_path}/logs/run.log"
+    upload_log(log, buf, path, spark=spark)
+    content = open(tmp_path / "logs" / "run.log").read()
+    assert "to the object store" in content
+
+
 def test_collect_all_logs_concats_phases_in_order(tmp_path, spark):
     from data_linter_spark.logging_functions import (
         collect_all_logs,
