@@ -64,6 +64,28 @@ def _timed(thunk) -> float:
     return time.perf_counter() - t0
 
 
+def contamination_stress(spark, sf_dir: str, force_shuffle: bool):
+    """Asymmetry-stress variant of the contamination screen: the benchmark
+    side is ~10x the registered query's (every 10th doc vs every 97th), the
+    regime where the broadcast eventually stops paying. Run both ways —
+    broadcast forced vs the max_bench_shingles guard's shuffle-join
+    fallback — so the bench records where the threshold breaks and what
+    the fallback costs."""
+    from pyspark.sql import functions as F
+
+    from data_linter_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.contamination_pairs(
+        corpus, bench, "doc_id", "text", min_overlap=8,
+        max_bench_shingles=(1 if force_shuffle else None),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -84,6 +106,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name, fn in q.queries().items():
         per_query[name] = round(time_query(fn, spark, sf_dir, trials=trials), 4)
+
+    per_query["contamination_10x_broadcast"] = round(
+        time_query(contamination_stress, spark, sf_dir, False, trials=trials), 4
+    )
+    per_query["contamination_10x_shuffle"] = round(
+        time_query(contamination_stress, spark, sf_dir, True, trials=trials), 4
+    )
 
     n_tokens = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", 10_000_000))
     tok_sec, tok_rps = tokens_throughput(spark, n_tokens)

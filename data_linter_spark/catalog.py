@@ -38,6 +38,33 @@ class IcebergUnavailable(RuntimeError):
     """The Iceberg Spark runtime jar is not on this installation."""
 
 
+# The exact runtime artifact for THIS pyspark build, so a networked
+# environment lights up the DSv2 path with zero code change:
+#
+#     spark-submit --packages {ICEBERG_MAVEN_COORD} ...
+#         # or: SPARK_GRAFT_ICEBERG_JAR=/path/to/downloaded.jar
+#
+# Naming convention: iceberg-spark-runtime-<spark minor>_<scala binary>.
+# pyspark 4.x ships Scala 2.13; ICEBERG_VERSION is the first Iceberg line
+# with support for that Spark minor. If pyspark is upgraded, this constant
+# follows the installed minor automatically; bump ICEBERG_VERSION per the
+# Iceberg↔Spark support matrix (iceberg.apache.org/multi-engine-support).
+ICEBERG_VERSION = "1.10.0"
+
+
+def iceberg_maven_coord() -> str:
+    import pyspark
+
+    spark_minor = ".".join(pyspark.__version__.split(".")[:2])
+    return (
+        f"org.apache.iceberg:iceberg-spark-runtime-{spark_minor}_2.13:"
+        f"{ICEBERG_VERSION}"
+    )
+
+
+ICEBERG_MAVEN_COORD = iceberg_maven_coord()
+
+
 def iceberg_jar() -> str | None:
     env = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
     if env and os.path.exists(env):
@@ -71,8 +98,10 @@ def get_iceberg_spark(
     jar = iceberg_jar()
     if jar is None:
         raise IcebergUnavailable(
-            "iceberg-spark-runtime jar not found; set SPARK_GRAFT_ICEBERG_JAR "
-            "or use the partitioned-parquet fallback (TokensTable)"
+            "iceberg-spark-runtime jar not found; download "
+            f"{ICEBERG_MAVEN_COORD} and set SPARK_GRAFT_ICEBERG_JAR (or "
+            "spark-submit --packages it), or use the partitioned-parquet "
+            "fallback (TokensTable)"
         )
     builder = (
         SparkSession.builder.appName(app_name)

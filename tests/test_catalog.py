@@ -1,6 +1,8 @@
 """TokensTable layer: Iceberg when the runtime jar exists, partitioned
 parquet otherwise — both must give validate_partitioned a PRUNED scan."""
 
+import os
+
 import pytest
 
 from data_linter_spark.catalog import (
@@ -37,3 +39,51 @@ def test_iceberg_gated(tmp_path):
             get_iceberg_spark(str(tmp_path / "wh"))
         with pytest.raises(IcebergUnavailable):
             TokensTable("local.db.tokens", use_iceberg=True)
+
+
+def test_iceberg_maven_coord_pinned():
+    """The documented artifact tracks the installed pyspark minor — a
+    networked env enables DSv2 with `--packages <coord>` and no code
+    change."""
+    import re
+
+    from data_linter_spark.catalog import ICEBERG_MAVEN_COORD
+
+    assert re.fullmatch(
+        r"org\.apache\.iceberg:iceberg-spark-runtime-\d+\.\d+_2\.13:\d+\.\d+\.\d+",
+        ICEBERG_MAVEN_COORD,
+    )
+    import pyspark
+
+    minor = ".".join(pyspark.__version__.split(".")[:2])
+    assert f"-{minor}_" in ICEBERG_MAVEN_COORD
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_ICEBERG_JAR"),
+    reason="Iceberg runtime jar not provided (set SPARK_GRAFT_ICEBERG_JAR)",
+)
+def test_iceberg_dsv2_roundtrip(tmp_path):
+    """Full DSv2 path: write the tokens table through the Iceberg catalog,
+    read it back, and verify the partition predicate prunes through
+    DataSourceV2 — runs whenever the env provides the runtime jar."""
+    from pyspark.sql import functions as F
+
+    from data_linter_spark.catalog import TokensTable, get_iceberg_spark
+    from data_linter_spark.tokens import synthetic_tokens
+
+    s = get_iceberg_spark(str(tmp_path / "wh"), master="local[4]")
+    try:
+        df = synthetic_tokens(s, 1000, n_partitions=4)
+        t = TokensTable("local.db.tokens_rt", use_iceberg=True)
+        t.write(df)
+        back = t.read(s)
+        assert back.count() == 1000
+        pruned = back.filter(F.col("source") == "common_crawl")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "BatchScan" in plan  # DSv2 scan node
+        assert pruned.count() == df.filter(
+            F.col("source") == "common_crawl"
+        ).count()
+    finally:
+        s.stop()

@@ -308,3 +308,95 @@ def test_stream_row_verdicts_with_row_conditions(spark, stream_dir):
     ]
     # null value: neither min/max nor the expression fires (three-valued logic)
     assert rows["2024-01-01T01:20:00"]["__valid"] is True
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """End-to-end soak of the streaming analogue of batch resume: windowed
+    verdict counters -> parquet file sink with a checkpointLocation, run in
+    TWO phases over the SHARED checkpoint (stop after phase 1, start a
+    fresh query for phase 2). Exactly-once: each window's counters appear
+    in the sink exactly once and equal the batch plan over the union of
+    both input batches — a restart must neither lose phase-1 windows nor
+    re-emit them."""
+    import glob
+    import os
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts_s string, value double, event_type string"
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_type"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            os.rename(f, os.path.join(in_dir, f"{name}.parquet"))
+        return df
+
+    schema = "ts timestamp, value double, event_type string"
+    meta = Metadata(META)
+
+    def run_phase():
+        sdf = spark.readStream.schema(schema).parquet(in_dir)
+        out = stream_windowed_verdicts(
+            sdf, meta, "ts", "1 hour", watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # phase 1: hours 0 and 1
+    b1 = write_batch("b1", [
+        ("2024-01-01 00:05:00", 50.0, "click"),
+        ("2024-01-01 00:10:00", 500.0, "view"),
+        ("2024-01-01 01:05:00", 10.0, "scroll"),
+    ])
+    run_phase()
+
+    # phase 2 (fresh query, same checkpoint): hour 2 plus a far-future row
+    # that pushes the watermark past every earlier window so append mode
+    # flushes them
+    b2 = write_batch("b2", [
+        ("2024-01-01 02:30:00", 70.0, "click"),
+        ("2024-01-01 02:40:00", -1.0, "view"),
+        ("2024-01-01 09:00:00", 1.0, "click"),
+    ])
+    run_phase()
+    # phase 3: an even-later row closes the hour-9 window too
+    b3 = write_batch("b3", [("2024-01-01 23:00:00", 2.0, "click")])
+    run_phase()
+
+    sink = spark.read.parquet(out_dir)
+    # exactly-once: one sink row per window, no duplicates from the restart
+    n_windows = sink.select("window_start").distinct().count()
+    assert sink.count() == n_windows
+
+    batch_union = b1.union(b2).union(b3)
+    expected = {
+        r["window_start"]: r
+        for r in stream_windowed_verdicts(
+            batch_union, meta, "ts", "1 hour", watermark=None
+        ).collect()
+    }
+    got = {r["window_start"]: r for r in sink.collect()}
+    # every window except the final unflushable one must match the batch
+    # plan value-for-value
+    assert len(got) >= 4
+    for ws, row in got.items():
+        exp = expected[ws]
+        for c in sink.columns:
+            assert row[c] == exp[c], (ws, c, row[c], exp[c])
+    # the violation counters landed where planted
+    h0 = got[min(got)]
+    assert h0["__viol__value__min_max_test"] == 1

@@ -114,6 +114,17 @@ CHECKS = {
         "single_scan": lambda p: n_scans(p) == 1,
         "prunes_props": lambda p: "props" not in p,
     },
+    "pack_sequences": {
+        # one window cumsum per group: one scan, one shuffle on the group
+        # key, and the heavy text/lang columns never read
+        "single_scan": lambda p: n_scans(p) == 1,
+        "prunes_text": lambda p: "text" not in p and "lang" not in p,
+        "codegen": lambda p: "codegen id" in p,
+    },
+    "pack_sequence_sums": {
+        "single_scan": lambda p: n_scans(p) == 1,
+        "prunes_text": lambda p: "text" not in p and "lang" not in p,
+    },
 }
 
 
