@@ -181,6 +181,112 @@ def corpus_retention_flags(
     )
 
 
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as an array; EMPTY for docs shorter than n (guarded —
+    Spark's sequence(0, negative) would yield a DESCENDING sequence and
+    index out of the array)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1-style filters), appended per row — the screen that removes the
+    boilerplate/spam pages where the same words and phrases loop:
+
+    - ``n_words``: whitespace word count (lowercased)
+    - ``dup_word_frac`` / ``dup_2gram_frac`` / ``dup_3gram_frac``:
+      ``1 - distinct/total`` over words and word n-grams
+    - ``top_word_frac``: share of words taken by the single most frequent
+      word
+    - ``repetition_ok``: the conjunction of the usual thresholds
+
+    Scale shape: ENTIRELY map-side array expressions — zero shuffle, zero
+    Python; a 100 TB corpus pays one projection. ``top_word_frac`` is
+    O(distinct_words x words) per document (the array-lambda counting
+    idiom) — bounded in practice by natural vocabulary growth; truncate
+    pathological documents upstream (max-length gate) before this screen.
+    All expressions have exact DuckDB list-lambda equivalents, so the
+    oracle recomputes every signal bit-for-bit."""
+    c = F.col(text_col)
+    words = _words(c)
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    g2, g3 = _ngrams(words, 2), _ngrams(words, 3)
+
+    def dup_frac(arr: Column, total: Column) -> Column:
+        return F.when(
+            total > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(arr)) / total.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda x: F.size(F.filter(words, lambda w: w == x)),
+        )
+    )
+    top_frac = F.when(
+        n_words > 0, F.round(top_count / n_words.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        dup_frac(words, n_words).alias("dup_word_frac"),
+        dup_frac(g2, F.greatest(F.size(g2), F.lit(0))).alias("dup_2gram_frac"),
+        dup_frac(g3, F.greatest(F.size(g3), F.lit(0))).alias("dup_3gram_frac"),
+        top_frac.alias("top_word_frac"),
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_word_frac") <= 0.5)
+        & (F.col("dup_2gram_frac") <= 0.4)
+        & (F.col("dup_3gram_frac") <= 0.3)
+        & (F.col("top_word_frac") <= 0.3),
+    )
+
+
+# PII screen patterns — deliberately RE2-safe (no backrefs/lookaround) so
+# the identical pattern runs in Spark's Java regex AND DuckDB's RE2 oracle
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() -]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_screen(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counters (emails / phone-shaped numbers / IPv4
+    literals) — the pre-release scrubbing screen of a training pipeline.
+    One map-side projection of ``regexp_count`` expressions; aggregate the
+    counters per source for release accounting, or filter ``pii_free`` to
+    drop flagged documents. Detection only — actual redaction is a
+    downstream ``regexp_replace`` with the same patterns."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select("*", *counts)
+    total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("pii_free", total == 0)
+
+
 def top_quality_per_group(
     df: DataFrame,
     group_col: str,

@@ -622,6 +622,111 @@ FROM x GROUP BY source, seq_id
 
 
 # ---------------------------------------------------------------------------
+# 2c-bis. Gopher-style repetition signals + PII screen over documents
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return repetition_signals(docs, "text").drop("text")
+
+
+SQL_REPETITION_SIGNALS = """
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END AS n_words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_words, arr,
+         CASE WHEN len(arr) >= 2 THEN
+           list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(arr) >= 3 THEN
+           list_transform(range(1, len(arr) - 1),
+                          i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+         ELSE [] END AS g3
+  FROM w
+),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN ROUND(1.0 - len(list_distinct(arr)) / CAST(n_words AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(g2) > 0
+              THEN ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len(g3) > 0
+              THEN ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_3gram_frac,
+         CASE WHEN n_words > 0
+              THEN ROUND(list_max(list_transform(list_distinct(arr),
+                       x -> len(list_filter(arr, y -> y = x))))
+                   / CAST(n_words AS DOUBLE), 6)
+              ELSE 0.0 END AS top_word_frac
+  FROM g
+)
+SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       top_word_frac,
+       (dup_word_frac <= 0.5 AND dup_2gram_frac <= 0.4
+        AND dup_3gram_frac <= 0.3 AND top_word_frac <= 0.3) AS repetition_ok
+FROM m
+"""
+
+
+def q_pii_screen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_linter_spark.functions.text import pii_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    flagged = pii_screen(docs, "text")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.sum(F.when(F.col("pii_free"), 1).otherwise(0))
+        .cast("long")
+        .alias("pii_free_docs"),
+    )
+
+
+def _sql_pii_screen() -> str:
+    from data_linter_spark.functions.text import PII_PATTERNS
+
+    def cnt(name):
+        # single-quoted RE2 literal; DuckDB standard strings pass
+        # backslashes through untouched, and the patterns contain no quotes
+        return f"len(regexp_extract_all(text, '{PII_PATTERNS[name]}'))"
+
+    return f"""
+WITH p AS (
+  SELECT source,
+         {cnt('email')} AS n_email,
+         {cnt('phone')} AS n_phone,
+         {cnt('ipv4')} AS n_ipv4
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pii_free_docs
+FROM p GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # 2d. column profiling (deequ-style): the numbers constraints are declared
 #     FROM — one fused pass for every column's metrics
 # ---------------------------------------------------------------------------
@@ -1378,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "pack_sequences": q_pack_sequences,
         "pack_sequence_sums": q_pack_sequence_sums,
+        "repetition_signals": q_repetition_signals,
+        "pii_screen_by_source": q_pii_screen_by_source,
         "profile_events": q_profile_events,
         "top_users": q_top_users,
         "session_stats": q_session_stats,
@@ -1410,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "packing_stats": SQL_PACKING_STATS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequence_sums": SQL_PACK_SEQUENCE_SUMS,
+        "repetition_signals": SQL_REPETITION_SIGNALS,
+        "pii_screen_by_source": _sql_pii_screen(),
         "profile_events": _sql_profile_events(),
         "top_users": SQL_TOP_USERS,
         "session_stats": SQL_SESSION_STATS,

@@ -769,3 +769,59 @@ def test_contamination_broadcast_guard(spark):
 
     rows = lambda df: sorted(tuple(r) for r in df.collect())
     assert rows(bc) == rows(sh) == [(1, 100, 4)]
+
+
+def test_repetition_signals_hand_computed(spark):
+    from data_linter_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),              # maximal repetition
+            (2, "the quick brown fox jumps high"),   # all distinct
+            (3, "a b a b a b"),                      # repeated bigram
+            (4, ""),                                 # empty
+            (5, "word"),                             # single word (no ngrams)
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r for r in repetition_signals(df, "text").collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.75       # 1 distinct / 4
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert r1["top_word_frac"] == 1.0
+    assert r1["repetition_ok"] is False
+    r2 = got[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["repetition_ok"] is True
+    r3 = got[3]
+    # words: a,b x3 -> dup_word 1-2/6; 2grams: ab,ba,ab,ba,ab -> 1-2/5
+    assert r3["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert r3["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+    assert r3["top_word_frac"] == 0.5
+    r4, r5 = got[4], got[5]
+    assert r4["n_words"] == 0 and r4["dup_word_frac"] == 0.0
+    assert r5["n_words"] == 1 and r5["dup_2gram_frac"] == 0.0
+    assert r4["repetition_ok"] is True
+    # a one-word doc is 100% its top word -> flagged; the min-length gate
+    # (quality_score) is the filter that owns degenerate-length docs
+    assert r5["top_word_frac"] == 1.0 and r5["repetition_ok"] is False
+
+
+def test_pii_screen_hand_computed(spark):
+    from data_linter_spark.functions.text import pii_screen
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or bob@test.org"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "server at 192.168.0.1 and 10.0.0.255"),
+            (4, "perfectly clean prose with no identifiers"),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r for r in pii_screen(df, "text").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["pii_free"] is False
+    assert got[2]["n_phone"] >= 1 and got[2]["pii_free"] is False
+    assert got[3]["n_ipv4"] == 2 and got[3]["pii_free"] is False
+    assert got[4]["pii_free"] is True
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (0, 0, 0)

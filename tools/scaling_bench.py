@@ -222,8 +222,17 @@ memory bandwidth and page cache; a real 4N-executor cluster scales those
 resources 4x as well, so this sandbox efficiency is a LOWER bound on
 cluster efficiency for this bandwidth-bound workload.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # always archive the raw run (full provenance for every measurement);
+    # BENCH/BASELINE.md is CURATED (round-over-round history + variance
+    # disclosure live there), so only rewrite it on explicit request
+    ts_name = time.strftime("%Y-%m-%d_%H%M")
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_run_{ts_name}.json"), "w"
+    ) as f:
+        json.dump(report, f, indent=1)
+    if os.environ.get("SPARK_GRAFT_WRITE_BASELINE") == "1":
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
 
 
 if __name__ == "__main__":
