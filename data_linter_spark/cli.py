@@ -58,6 +58,15 @@ def main(argv=None) -> int:
     sp = sub.add_parser("summary", help="verdict-log summary")
     sp.add_argument("--config", default="config.yaml")
 
+    ip = sub.add_parser(
+        "iam", help="emit iam_config YAML (+ optional policy JSON) from a "
+                    "run config (reference data_linter/iam.py)"
+    )
+    ip.add_argument("--config", default="config.yaml")
+    ip.add_argument("--output", default="iam_config.yaml")
+    ip.add_argument("--policy", default=None, help="optional policy .json path")
+    ip.add_argument("--overwrite", action="store_true")
+
     sg = sub.add_parser(
         "suggest",
         help="profile a snapshot and emit metadata it satisfies "
@@ -118,6 +127,19 @@ def main(argv=None) -> int:
                 f.write(doc)
         else:
             print(doc)
+        return 0
+
+    if args.cmd == "iam":
+        from data_linter_spark.config import load_and_validate_config
+        from data_linter_spark.iam import generate_iam_config
+
+        generate_iam_config(
+            load_and_validate_config(args.config),
+            iam_config_output=args.output,
+            iam_policy_output=args.policy,
+            overwrite_config=args.overwrite,
+        )
+        print(json.dumps({"iam_config": args.output, "policy": args.policy}))
         return 0
 
     if args.cmd == "summary":

@@ -688,6 +688,24 @@ def connected_components(
     return labels
 
 
+def apply_dedup(
+    corpus: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Materialize the DEDUPED corpus from a cluster labeling: keep each
+    cluster's representative (``id == rep``), drop the rest; docs absent
+    from ``labels`` were never in any near-dup pair and are kept untouched.
+
+    Scale shape: the drop set is |near-dup docs| - |clusters| rows — tiny
+    relative to the corpus — so the anti-join broadcasts it and the corpus
+    never shuffles (AQE picks the broadcast; the explicit hint pins it).
+    This is the step that turns the pairs->clusters analytics into the
+    training corpus actually shipped."""
+    drops = labels.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(F.broadcast(drops), on=id_col, how="left_anti")
+
+
 # -- benchmark contamination screen -----------------------------------------
 
 

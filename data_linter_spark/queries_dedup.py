@@ -509,6 +509,51 @@ SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY id
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup materialization: pairs -> clusters -> apply (keep
+    representatives, drop the rest) -> corpus accounting. The checksum sum
+    over kept ids pins the exact KEPT SET, not just its size."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dd.minhash_near_dups(
+        corpus, "doc_id", "text",
+        n_hashes=N_HASHES, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        min_jaccard=MIN_JACCARD,
+    ).select("id_a", "id_b")
+    labels = dd.connected_components(pairs)
+    kept = dd.apply_dedup(corpus, labels, "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
+
+
+def _sql_dedup_apply() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_minhash()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+labels AS (
+  SELECT id, min(r) AS rep FROM reach GROUP BY id
+),
+drops AS (SELECT id FROM labels WHERE id <> rep),
+{SQL_CORPUS_CTE.strip().rstrip()}
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)
+"""
+
+
 # ---------------------------------------------------------------------------
 # benchmark contamination screen: corpus docs sharing >= K n-grams with a
 # small benchmark set. Benchmark = every 97th doc; corpus = the rest plus
@@ -616,6 +661,7 @@ DEDUP_QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "corpus_filter": q_corpus_filter,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "contamination": q_contamination,
     "mix_top_quality": q_mix_top_quality,
 }
@@ -630,6 +676,7 @@ DEDUP_ORACLES = {
     "fingerprint_documents": SQL_FINGERPRINT,
     "corpus_filter": _sql_corpus_filter(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_apply": _sql_dedup_apply(),
     "contamination": SQL_CONTAMINATION,
     "mix_top_quality": _sql_mix_top_quality(),
 }

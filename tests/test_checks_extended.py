@@ -825,3 +825,20 @@ def test_pii_screen_hand_computed(spark):
     assert got[3]["n_ipv4"] == 2 and got[3]["pii_free"] is False
     assert got[4]["pii_free"] is True
     assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_apply_dedup_keeps_reps_and_unlabeled(spark):
+    """apply_dedup keeps each cluster's representative and every doc never
+    seen in a pair; the anti-join's drop side is broadcast."""
+    from data_linter_spark.functions.dedup import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, rep long"
+    )
+    kept = apply_dedup(corpus, labels, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

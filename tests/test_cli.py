@@ -85,3 +85,30 @@ def test_cli_suggest_roundtrips_into_validation(spark, tmp_path, capsys):
     v = SparkValidator(inp, {}, meta, spark=spark)
     v.read_data_and_validate()
     assert v.valid is True
+
+
+def test_cli_iam(tmp_path, capsys):
+    import json
+
+    import yaml
+
+    from data_linter_spark.cli import main
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(yaml.dump({
+        "iam-role-name": "role_x",
+        "land-base-path": "s3://land/x/",
+        "pass-base-path": "s3://pass/x/",
+        "log-base-path": "s3://log/x/",
+        "tables": {"t1": {"required": True}},
+    }))
+    out = str(tmp_path / "iam.yaml")
+    pol = str(tmp_path / "iam.json")
+    rc = main(["iam", "--config", str(cfg), "--output", out,
+               "--policy", pol])
+    assert rc == 0
+    got = yaml.safe_load(open(out))
+    assert got["iam-role-name"] == "role_x"
+    assert got["s3"]["write_only"] == ["log/x/*"]
+    assert got["s3"]["read_write"] == ["land/x/*", "pass/x/*"]
+    assert json.load(open(pol))["Version"] == "2012-10-17"
