@@ -213,19 +213,33 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
       word
     - ``repetition_ok``: the conjunction of the usual thresholds
 
-    Scale shape: ENTIRELY map-side array expressions — zero shuffle, zero
-    Python; a 100 TB corpus pays one projection. ``top_word_frac`` is
-    O(distinct_words x words) per document (the array-lambda counting
-    idiom) — bounded in practice by natural vocabulary growth; truncate
-    pathological documents upstream (max-length gate) before this screen.
-    All expressions have exact DuckDB list-lambda equivalents, so the
-    oracle recomputes every signal bit-for-bit."""
+    Scale shape: map-side only — zero shuffle, zero Python; a 100 TB
+    corpus pays a few narrow projections and never shuffles its words.
+    The word array is MATERIALIZED as its own projection step before any
+    lambda touches it: an expression captured inside a higher-order-
+    function lambda is re-evaluated on EVERY element invocation (no CSE
+    across lambda calls), so inlining the split() into the n-gram
+    transform turns O(n) into O(n^2) per document — measured 40s vs 2.6s
+    on the sf0.1 corpus. Multi-use aliases are what stop Catalyst's
+    CollapseProject from re-inlining them. ``top_word_frac`` (most
+    frequent word's share) = the longest equal run of the sorted word
+    array via ONE aggregate() fold — O(n log n) per doc. All signals have
+    exact DuckDB list-lambda equivalents, so the oracle recomputes them
+    bit-for-bit."""
     c = F.col(text_col)
-    words = _words(c)
-    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(words)
+
+    # step 1: materialize words once (referenced 6x downstream)
+    with_words = df.select("*", _words(c).alias("__words"))
+    w = F.col("__words")
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(w))
+
+    # step 2: n-gram arrays + sorted array, each referencing the COLUMN
+    with_arrays = with_words.select(
+        "*",
+        _ngrams(w, 2).alias("__g2"),
+        _ngrams(w, 3).alias("__g3"),
+        F.array_sort(w).alias("__sorted"),
     )
-    g2, g3 = _ngrams(words, 2), _ngrams(words, 3)
 
     def dup_frac(arr: Column, total: Column) -> Column:
         return F.when(
@@ -235,23 +249,38 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).otherwise(F.lit(0.0))
 
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda x: F.size(F.filter(words, lambda w: w == x)),
+    init = F.struct(
+        F.lit(" __none__").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        new_run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
         )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.col("__sorted"), init, step, lambda acc: acc["best"]
     )
     top_frac = F.when(
         n_words > 0, F.round(top_count / n_words.cast("double"), 6)
     ).otherwise(F.lit(0.0))
-    out = df.select(
+    g2, g3 = F.col("__g2"), F.col("__g3")
+    out = with_arrays.select(
         "*",
         n_words.alias("n_words"),
-        dup_frac(words, n_words).alias("dup_word_frac"),
-        dup_frac(g2, F.greatest(F.size(g2), F.lit(0))).alias("dup_2gram_frac"),
-        dup_frac(g3, F.greatest(F.size(g3), F.lit(0))).alias("dup_3gram_frac"),
+        dup_frac(w, n_words).alias("dup_word_frac"),
+        dup_frac(g2, F.size(g2)).alias("dup_2gram_frac"),
+        dup_frac(g3, F.size(g3)).alias("dup_3gram_frac"),
         top_frac.alias("top_word_frac"),
-    )
+    ).drop("__words", "__g2", "__g3", "__sorted")
     return out.withColumn(
         "repetition_ok",
         (F.col("dup_word_frac") <= 0.5)

@@ -652,8 +652,23 @@ g AS (
          CASE WHEN len(arr) >= 3 THEN
            list_transform(range(1, len(arr) - 1),
                           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
-         ELSE [] END AS g3
+         ELSE [] END AS g3,
+         list_sort(arr) AS s
   FROM w
+),
+b AS (
+  SELECT *, list_concat(
+           list_filter(range(1, len(s) + 1),
+                       i -> i = 1 OR s[i] <> s[i-1]),
+           [len(s) + 1]) AS b2,
+         len(list_filter(range(1, len(s) + 1),
+                         i -> i = 1 OR s[i] <> s[i-1])) AS nb
+  FROM g
+),
+t AS (
+  SELECT *, list_max(list_transform(range(1, nb + 1),
+                                    j -> b2[j+1] - b2[j])) AS top_count
+  FROM b
 ),
 m AS (
   SELECT doc_id, n_words,
@@ -667,11 +682,9 @@ m AS (
               THEN ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
               ELSE 0.0 END AS dup_3gram_frac,
          CASE WHEN n_words > 0
-              THEN ROUND(list_max(list_transform(list_distinct(arr),
-                       x -> len(list_filter(arr, y -> y = x))))
-                   / CAST(n_words AS DOUBLE), 6)
+              THEN ROUND(top_count / CAST(n_words AS DOUBLE), 6)
               ELSE 0.0 END AS top_word_frac
-  FROM g
+  FROM t
 )
 SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
        top_word_frac,

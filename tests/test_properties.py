@@ -173,3 +173,94 @@ def test_histogram_probs_normalize(counts):
     assert len(p) == len(counts)
     total = sum(p)
     assert total == 0.0 or abs(total - 1.0) < 1e-9
+
+
+# -- connected components vs pure-python union-find ------------------------
+
+
+def _union_find_reps(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical rep = min node of the component
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for nodes in comp.values():
+        m = min(nodes)
+        for n in nodes:
+            out[n] = m
+    return out
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=60,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """The large-star/small-star contraction must agree with a pure-python
+    union-find on arbitrary graphs (self-loops, duplicate edges, multiple
+    components, both orientations)."""
+    from data_linter_spark.functions.dedup import connected_components
+
+    expected = _union_find_reps(e for e in edges if e[0] != e[1])
+    if not expected:  # all self-loops: no edges survive
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["rep"]
+           for r in connected_components(df, max_iter=15).collect()}
+    assert got == expected
+
+
+def _pack_assign_sim(n_toks, L):
+    """Pure-python concat-and-chunk assignment reference."""
+    start, out = 0, []
+    for n in n_toks:
+        s0 = start // L
+        s1 = (start + n - 1) // L if n > 0 else s0
+        out.append((start, s0, start % L, s1))
+        start += n
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=37), min_size=1,
+                max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_simulation(spark, n_toks):
+    from data_linter_spark.functions.packing import (
+        pack_sequence_sums,
+        pack_sequences,
+    )
+
+    L = 16
+    rows = [("g", f"d{i:04d}", n) for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(rows, "src string, doc_id string, n_tok int")
+    got = {r["doc_id"]: r for r in pack_sequences(
+        df, "src", "doc_id", "n_tok", context_len=L).collect()}
+    for i, (start, s0, off, s1) in enumerate(_pack_assign_sim(n_toks, L)):
+        r = got[f"d{i:04d}"]
+        assert (r["start_offset"], r["seq_id"], r["offset_in_seq"],
+                r["end_seq_id"]) == (start, s0, off, s1)
+    # window sums: every window exactly L except the group's last
+    sums = {r["seq_id"]: r["seq_tokens"] for r in pack_sequence_sums(
+        df, "src", "doc_id", "n_tok", context_len=L).collect()}
+    if sums:
+        last = max(sums)
+        for s, tok in sums.items():
+            assert tok == L or s == last
+        assert sum(sums.values()) == sum(n_toks)
