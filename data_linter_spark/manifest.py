@@ -239,7 +239,11 @@ def validate_partitioned(
     recs = manifest.records()
     return {
         "partitions_total": len(all_values),
-        "partitions_skipped_resume": len(done),
+        # count skipped PARTITION VALUES only — `done` may also hold the
+        # reserved __GLOBAL__ record, which is not a partition
+        "partitions_skipped_resume": sum(
+            1 for v in all_values if partition_id_of(v) in done
+        ),
         "partitions_validated": n_validated,
         "all_passed": all(r["status"] == "pass" for r in recs),
         "manifest_path": manifest.path,
@@ -257,7 +261,16 @@ def _run_global_checks(
     unique_screen_only: bool,
 ) -> dict:
     """The non-decomposable checks, once per run, resumable via the
-    reserved __GLOBAL__ manifest record."""
+    reserved __GLOBAL__ manifest record.
+
+    Provenance caveat: a __GLOBAL__ record is only reusable when the
+    resumed run validates the SAME table the record was computed over —
+    resume trusts the record, it cannot re-derive what data produced it.
+    That is what the ``lineage`` field is for: stamp snapshot/version ids
+    into it and point resumed runs at the same snapshot (a killed run is
+    safe by construction — the global phase runs after the partition loop,
+    so a mid-loop kill leaves no __GLOBAL__ record and the resumed run
+    computes the checks over the full table)."""
     unique_cols = [
         mc["name"] for mc in metadata.columns
         if mc.get("unique") and mc["name"] in df.columns

@@ -1,0 +1,99 @@
+"""End-to-end north-star lifecycle (BASELINE.json north_rule): the
+canonical tokens table written through the catalog layer, validated
+per-partition with a scheme-aware checkpoint manifest, resumed after a
+simulated kill, global (non-decomposable) checks recorded, and the run
+logs collated — the whole flagship story in one test."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_linter_spark.catalog import TokensTable
+from data_linter_spark.manifest import (
+    GLOBAL_CHECKS_ID,
+    PartitionManifest,
+    validate_partitioned,
+)
+from data_linter_spark.metadata import Metadata
+from data_linter_spark.tokens import synthetic_tokens, tokens_metadata
+
+
+def test_north_star_lifecycle(spark, tmp_path):
+    # 1. materialize the canonical table through the catalog layer
+    #    (partitioned-parquet stand-in for Iceberg; same pruned scans)
+    table = TokensTable(str(tmp_path / "tokens"), use_iceberg=False)
+    df = synthetic_tokens(spark, 20_000, n_partitions=8, dup_every=1000)
+    table.write(df)
+    tokens = table.read(spark)
+    n_sources = tokens.select("source").distinct().count()
+
+    # 2. first run dies early: only the hot partition completes. A kill
+    #    mid-loop leaves NO __GLOBAL__ record (the global phase runs after
+    #    the partition loop), so simulate it with a metadata carrying no
+    #    global-check keys — the resumed run must then compute the global
+    #    checks over the FULL table.
+    meta = Metadata(tokens_metadata())
+    meta_no_global = Metadata(tokens_metadata())
+    for mc in meta_no_global.columns:
+        mc.pop("unique", None)
+    manifest_uri = f"file://{tmp_path}/manifest"
+    m1 = PartitionManifest(manifest_uri)
+    validate_partitioned(
+        spark,
+        tokens.filter(F.col("source") == "common_crawl"),
+        meta_no_global,
+        "source",
+        m1,
+    )
+    assert m1.done_partitions() == {"common_crawl"}
+
+    # 3. resume from a FRESH manifest handle over the same URI (state
+    #    lives in the filesystem, as on a cluster)
+    m2 = PartitionManifest(manifest_uri)
+    summary = validate_partitioned(spark, tokens, meta, "source", m2)
+    assert summary["partitions_total"] == n_sources
+    assert summary["partitions_skipped_resume"] == 1
+    assert summary["partitions_validated"] == n_sources - 1
+
+    recs = {r["partition_id"]: r for r in m2.records()}
+    # every source partition got a verdict; constraints hold per-partition
+    assert len(recs) == n_sources + 1  # + __GLOBAL__
+    for pid, rec in recs.items():
+        if pid == GLOBAL_CHECKS_ID:
+            continue
+        assert rec["status"] == "pass", pid
+        assert rec["metrics"]["rows"] > 0
+
+    # 4. the planted cross-row duplicates are invisible per-partition but
+    #    caught by the global unique check (screen + exact), failing the run
+    g = recs[GLOBAL_CHECKS_ID]
+    assert g["status"] == "fail"
+    assert g["metrics"]["checks"]["doc_id.unique_test"] is False
+    assert summary["all_passed"] is False
+    gr = summary["global_checks"]["doc_id.unique_test"]
+    assert gr["screen"]["verdict"] in ("dups_certain", "probably_unique")
+    assert gr["duplicate_keys"] == 19  # every 1000th of 20k rows, minus id 0
+
+    # 5. re-resume: nothing left to do, verdicts stable
+    s3 = validate_partitioned(spark, tokens, meta, "source", m2)
+    assert s3["partitions_validated"] == 0
+    assert s3["global_checks"] == {"skipped_resume": True}
+
+    # 6. run-log lifecycle: phase logs -> scheme-aware collation
+    from data_linter_spark.logging_functions import (
+        collect_all_logs,
+        logging_setup,
+        phase_log_path,
+        upload_log,
+    )
+
+    config = {"log-base-path": str(tmp_path / "logs")}
+    for phase, msg in (("init", "planned"), ("val", "validated"),
+                       ("status", json.dumps(summary, default=str))):
+        log, buf = logging_setup(f"ns_{phase}")
+        log.info(msg, extra={"context": phase.upper()})
+        upload_log(log, buf, phase_log_path(config, phase), spark=spark)
+    final = collect_all_logs(config, ts=1, spark=spark)
+    text = open(final.replace("file://", "")).read()
+    assert text.index("planned") < text.index("validated")
+    assert "doc_id.unique_test" in text or "all_passed" in text

@@ -125,6 +125,23 @@ CHECKS = {
         "single_scan": lambda p: n_scans(p) == 1,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
+    "repetition_signals": {
+        # pure map-side signals: one scan, no exchange at all
+        "single_scan": lambda p: n_scans(p) == 1,
+        "no_shuffle": lambda p: "Exchange" not in p,
+    },
+    "pii_screen_by_source": {
+        "single_scan": lambda p: n_scans(p) == 1,
+        "codegen": lambda p: "codegen id" in p,
+    },
+    "dedup_apply": {
+        # the drop set is broadcast; the corpus never shuffles into the
+        # anti-join
+        "broadcast_anti": lambda p: "BroadcastHashJoin" in p
+        and "LeftAnti" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    },
 }
 
 
