@@ -42,11 +42,13 @@ class ConstraintPlan:
         metadata: Metadata,
         log_verbosity: Optional[int] = None,
         row_id_col: Optional[str] = None,
+        sample_seed: int = 42,
     ):
         self.df = df
         self.metadata = metadata
         self.log_verbosity = log_verbosity
         self.row_id_col = row_id_col
+        self.sample_seed = sample_seed
         dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
         self.specs: list[ConstraintSpec] = []
         for meta_col in metadata.columns:
@@ -164,12 +166,15 @@ class ConstraintPlan:
         number of failing tests is small, so this stays cheap at scale.
 
         reference: index/value sampling in _fill_res_dict
-        (pandas_validator.py:358-380); sampling here is deterministic
-        (first-k in row order) rather than pandas' random ``.sample`` —
-        recorded divergence (SURVEY.md §7), reference tests assert only
-        counts/validity. log_verbosity == 0 (reference: ALL violations) is
-        capped at VERBOSITY0_SAMPLE_CAP driver-side; use violations_df() to
-        sink the full set."""
+        (pandas_validator.py:358-380) — a RANDOM ``Series.sample(n)`` when
+        there are more violations than n, everything otherwise. Matched
+        here with a seeded ``orderBy(rand(seed)).limit(cap)``: <= cap
+        violations return complete (identical sets either way), above the
+        cap a random-but-reproducible subset — TakeOrderedAndProject, a
+        per-partition top-k heap, never a global sort shuffle.
+        log_verbosity == 0 (reference: ALL violations) is capped at
+        VERBOSITY0_SAMPLE_CAP driver-side; use violations_df() to sink the
+        full set."""
         n = self.log_verbosity
         cap = VERBOSITY0_SAMPLE_CAP if n == 0 else n
         rid = self._row_id()
@@ -192,6 +197,7 @@ class ConstraintPlan:
                     F.coalesce(spec.oob, F.lit(False)).alias("__oob"),
                 )
                 .filter(F.col("__oob"))
+                .orderBy(F.rand(self.sample_seed))
                 .limit(cap)
                 .collect()
             )

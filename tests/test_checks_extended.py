@@ -842,3 +842,33 @@ def test_apply_dedup_keeps_reps_and_unlabeled(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_release_persisted_frees_cached_relations(spark):
+    """The dedup family persists upstream relations (shingle sets, band
+    signatures, fingerprints); release_persisted(result) must unpersist
+    them so long-lived sessions don't accumulate executor storage
+    (ADVICE r2)."""
+    from data_linter_spark.functions.dedup import (
+        minhash_near_dups,
+        release_persisted,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(20)],
+        "id int, text string",
+    )
+    before = jsc.getPersistentRDDs().size()
+    result = minhash_near_dups(df, "id", "text")
+    result.collect()
+    assert jsc.getPersistentRDDs().size() > before  # relation cached
+    n = release_persisted(result)
+    assert n == 1
+    assert jsc.getPersistentRDDs().size() == before
+    assert release_persisted(result) == 0  # idempotent
+    # cache=False never persists, nothing to release
+    r2 = minhash_near_dups(df, "id", "text", cache=False)
+    r2.collect()
+    assert jsc.getPersistentRDDs().size() == before
+    assert release_persisted(r2) == 0

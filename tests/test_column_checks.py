@@ -485,3 +485,34 @@ def test_row_conditions_expression_test(spark):
     assert row["__viol__len_inv__expression_test"] == 2
     resp = ConstraintPlan(df, meta).run()
     assert resp.get_result()["len_inv"]["expression_test"]["valid"] is False
+
+
+def test_violation_sample_random_seeded(spark):
+    """Over the verbosity cap the sample is a random-but-seeded subset of
+    the violations (reference Series.sample parity); under the cap it is
+    the complete set (already covered above)."""
+    from pyspark.sql import functions as F
+
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("rid"), (F.col("id") + 1000).alias("v")
+    )
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "v", "type": "int64", "maximum": 10}],
+    })
+
+    def sample(seed):
+        plan = ConstraintPlan(
+            df, meta, log_verbosity=5, row_id_col="rid", sample_seed=seed
+        )
+        res = plan.run().get_result()
+        return res["v"]["min_max_test"]["unexpected_values_sample"]
+
+    s42a, s42b, s7 = sample(42), sample(42), sample(7)
+    assert len(s42a) == 5
+    assert s42a == s42b                       # reproducible
+    assert set(s7) != set(s42a)               # seed changes the draw
+    assert set(s42a) <= {str(i + 1000) for i in range(500)}

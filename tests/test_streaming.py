@@ -400,3 +400,54 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     # the violation counters landed where planted
     h0 = got[min(got)]
     assert h0["__viol__value__min_max_test"] == 1
+
+
+def test_stream_duplicate_counts_state_survives_restart(spark, tmp_path):
+    """The applyInPandasWithState seen-set must recover from the state
+    store on restart: a key first seen before the kill is counted as a
+    duplicate when it reappears after — two queries over one checkpoint."""
+    import glob
+    import os
+
+    from data_linter_spark.streaming import stream_duplicate_counts
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    collected = []
+
+    def write_batch(name, keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "part-*.parquet")):
+            os.rename(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    def run_phase():
+        sdf = spark.readStream.schema("k string").parquet(in_dir)
+        out = stream_duplicate_counts(sdf, "k", n_buckets=1)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, _bid: collected.extend(
+                    r.asDict() for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    write_batch("b1", ["a", "b", "c", "a"])
+    run_phase()
+    assert collected[-1]["dup_rows"] == 1      # in-batch dup
+    assert collected[-1]["state_keys"] == 3
+
+    write_batch("b2", ["a", "d"])              # 'a' known only via state
+    run_phase()
+    last = collected[-1]
+    assert last["batch_rows"] == 2
+    assert last["dup_rows"] == 1               # detected ACROSS the restart
+    assert last["state_keys"] == 4
+    assert last["saturated"] is False
