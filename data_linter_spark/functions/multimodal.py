@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind ``decoder=`` (default: a clearly-marked deterministic fake;
-``strict=True`` raises NotImplementedError as the marker for the real
-codec). Everything Spark-side — schema handling, partition sizing, UDF
-signatures, Arrow batch shapes — is real and tested.
+Decode reality, by format:
+
+- **raw RGB** (self-describing ``RAWI`` payloads) — REAL decode, REAL
+  nearest-neighbor resize, REAL features, pure numpy
+  (``codec_free_decode`` / ``resize_raw_images``).
+- **WAV PCM** — REAL decode via stdlib ``wave`` + numpy (rms / peak /
+  zero-crossing features, duration, channels).
+- **compressed formats** (PNG/JPEG/MP4) — the container has no codecs, so
+  these stay stubbed behind ``decoder=`` (default: a clearly-marked
+  deterministic fake; ``strict=True`` raises NotImplementedError as the
+  marker for the real codec hook).
+
+Everything Spark-side — schema handling, partition sizing, UDF
+signatures, Arrow batch shapes — is real and tested either way.
 
 Canonical media schema::
 
@@ -56,6 +65,136 @@ def real_decode(payload: bytes, mime: str) -> dict:  # pragma: no cover
         "media codecs are not available in this environment; "
         "inject a decoder via media_features(decoder=...)"
     )
+
+
+# -- REAL codecs for codec-free formats -------------------------------------
+#
+# Two formats need no external library, so their decode path is genuinely
+# real in this container: a self-describing raw-RGB image format (numpy
+# only) and RIFF/WAV PCM audio (stdlib ``wave``). Compressed formats
+# (PNG/JPEG/MP4) remain env-gated behind ``real_decode``.
+
+RAW_MAGIC = b"RAWI"  # b"RAWI" + uint32be w + uint32be h + w*h*3 RGB bytes
+
+
+def encode_raw_image(arr) -> bytes:
+    """(h, w, 3) uint8 numpy array -> raw payload bytes."""
+    import numpy as np
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    return RAW_MAGIC + struct.pack(">II", w, h) + a.tobytes()
+
+
+def decode_raw_image(payload: bytes):
+    """Raw payload bytes -> (h, w, 3) uint8 numpy array. Raises on a
+    malformed header/size — a decode FAILURE, which media_features maps to
+    decode_ok=false rather than a job abort."""
+    import numpy as np
+    import struct
+
+    if payload is None or payload[:4] != RAW_MAGIC:
+        raise ValueError("not a RAWI payload")
+    w, h = struct.unpack(">II", payload[4:12])
+    body = payload[12:]
+    if len(body) != w * h * 3:
+        raise ValueError(f"RAWI size mismatch: {len(body)} != {w}x{h}x3")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_raw_image(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resize via pure numpy index maps — a REAL
+    resampler, vectorized (no Python per-pixel loop)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    rows = (np.arange(target_h) * h // target_h).astype(np.int64)
+    cols = (np.arange(target_w) * w // target_w).astype(np.int64)
+    return arr[rows][:, cols]
+
+
+def _raw_image_features(payload: bytes) -> dict:
+    import numpy as np
+
+    a = decode_raw_image(payload)
+    h, w, _ = a.shape
+    # features: per-channel means + a 2x2 grid of grayscale means +
+    # overall std, padded to FEATURE_DIM
+    gray = a.mean(axis=2)
+    gh, gw = max(h // 2, 1), max(w // 2, 1)
+    grid = [
+        float(gray[i * gh:(i + 1) * gh or None, j * gw:(j + 1) * gw or None].mean())
+        for i in range(2)
+        for j in range(2)
+    ]
+    feats = [float(a[..., c].mean()) / 255.0 for c in range(3)]
+    feats += [g / 255.0 for g in grid]
+    feats.append(float(gray.std()) / 255.0)
+    feats += [0.0] * (FEATURE_DIM - len(feats))
+    return {
+        "ok": True,
+        "features": feats[:FEATURE_DIM],
+        "decoded_width": w,
+        "decoded_height": h,
+    }
+
+
+def _wav_features(payload: bytes) -> dict:
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as f:
+        n, rate, width, ch = (
+            f.getnframes(), f.getframerate(), f.getsampwidth(), f.getnchannels()
+        )
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width={width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    peak = float(np.abs(samples).max()) if samples.size else 0.0
+    zc = (
+        float((np.diff(np.signbit(samples)) != 0).mean())
+        if samples.size > 1
+        else 0.0
+    )
+    feats = [rms, peak, zc, rate / 96000.0, ch / 8.0]
+    feats += [0.0] * (FEATURE_DIM - len(feats))
+    return {
+        "ok": True,
+        "features": feats[:FEATURE_DIM],
+        # audio has no spatial dims; report duration_ms x channels instead
+        "decoded_width": int(n * 1000 / rate) if rate else 0,
+        "decoded_height": ch,
+    }
+
+
+def codec_free_decode(payload: bytes, mime: str) -> dict:
+    """REAL decode for the codec-free formats (raw RGB via numpy, WAV PCM
+    via stdlib wave); anything compressed raises NotImplementedError like
+    ``real_decode`` (env-gated). A malformed payload of a SUPPORTED format
+    returns decode_ok=false instead of raising, so one corrupt object
+    cannot abort a 100 TB job."""
+    try:
+        if mime == "image/raw" or (payload or b"")[:4] == RAW_MAGIC:
+            return _raw_image_features(payload)
+        if mime == "audio/wav" or (payload or b"")[:4] == b"RIFF":
+            return _wav_features(payload)
+    except Exception:
+        return {
+            "ok": False,
+            "features": [0.0] * FEATURE_DIM,
+            "decoded_width": 0,
+            "decoded_height": 0,
+        }
+    return real_decode(payload, mime)
 
 
 def media_features(
@@ -121,6 +260,51 @@ def resize_plan(
                     "resized": [
                         (header + (p or b"")) for p in pdf[payload_col]
                     ],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_raw_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize over raw-RGB payloads: decode (numpy) ->
+    nearest-neighbor resample (vectorized index maps) -> re-encode, one
+    Arrow batch per Python call. Non-RAWI / corrupt payloads yield
+    resize_ok=false with a null payload instead of aborting the job.
+    Emits (media_id, resized binary, resize_ok, target_w, target_h)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} string, resized binary, resize_ok boolean, "
+        "target_w int, target_h int"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized, ok = [], []
+            for p in pdf[payload_col]:
+                try:
+                    out = encode_raw_image(
+                        resize_raw_image(decode_raw_image(p), target_w, target_h)
+                    )
+                    resized.append(out)
+                    ok.append(True)
+                except Exception:
+                    resized.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": resized,
+                    "resize_ok": ok,
                     "target_w": target_w,
                     "target_h": target_h,
                 }
