@@ -33,6 +33,20 @@ from data_linter_spark.tokens import tokens_metadata  # noqa: E402
 
 def main() -> None:
     cpus, path, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+    # OPT-IN (SPARK_GRAFT_MEM_PER_CORE=<gb>): scale the JVM heap with the
+    # cluster size, as a real cluster does — a 4N deployment has 4N
+    # executors' heaps, while this sandbox's single JVM otherwise gives
+    # both "cluster sizes" the same fixed heap, which starves the 4N level
+    # into spill once the workload outgrows it (measured at 160M rows:
+    # exact-dedup 3.25x slower at 16 threads under a shared 8g heap while
+    # the pure-CPU calibration scaled at 0.98 — a memory-per-core ceiling,
+    # not a plan defect). Default OFF to keep the protocol identical to
+    # the recorded baseline runs.
+    per_core = os.environ.get("SPARK_GRAFT_MEM_PER_CORE")
+    if per_core:
+        os.environ.setdefault(
+            "SPARK_GRAFT_DRIVER_MEM", f"{int(float(per_core) * cpus)}g"
+        )
     spark = get_spark(
         app_name=f"scaling_bench_{cpus}",
         master=f"local[{cpus}]",
