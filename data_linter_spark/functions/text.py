@@ -316,6 +316,19 @@ def pii_screen(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pii_free", total == 0)
 
 
+def redact_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Materialize the scrub the PII screen only detects: every email /
+    phone / IPv4 match replaced in place. Chained ``regexp_replace``
+    projections — map-side, zero shuffle, zero Python; the redacted column
+    keeps the original name so downstream operators are oblivious."""
+    c = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return df.withColumn(text_col, c)
+
+
 def top_quality_per_group(
     df: DataFrame,
     group_col: str,

@@ -739,6 +739,65 @@ FROM p GROUP BY source
 """
 
 
+PII_PLANT_EVERY = 41
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a synthetic email on every 41st doc, redact, and prove the
+    scrub: the planted docs (and only those, modulo natural PII) come back
+    clean with their non-PII tail intact."""
+    from data_linter_spark.functions.text import pii_screen, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PII_PLANT_EVERY == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = redact_pii(docs, "text")
+    rescreened = pii_screen(redacted, "text")
+    return (
+        rescreened.filter(F.col("doc_id") % PII_PLANT_EVERY == 0)
+        .select(
+            "doc_id",
+            (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") == 0)
+            .alias("clean_after_redact"),
+            F.substring(F.col("text"), -15, 15).alias("tail"),
+        )
+    )
+
+
+def _sql_pii_redact() -> str:
+    from data_linter_spark.functions.text import PII_PATTERNS
+
+    txt = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+    red = txt
+    for pat in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '[PII]', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(red, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {red} AS red
+  FROM documents WHERE doc_id % {PII_PLANT_EVERY} = 0
+)
+SELECT doc_id,
+       ({counts}) = 0 AS clean_after_redact,
+       CASE WHEN len(red) >= 15 THEN substr(red, len(red) - 14, 15)
+            ELSE red END AS tail
+FROM planted
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2d. column profiling (deequ-style): the numbers constraints are declared
 #     FROM — one fused pass for every column's metrics
@@ -1498,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequence_sums": q_pack_sequence_sums,
         "repetition_signals": q_repetition_signals,
         "pii_screen_by_source": q_pii_screen_by_source,
+        "pii_redact": q_pii_redact,
         "profile_events": q_profile_events,
         "top_users": q_top_users,
         "session_stats": q_session_stats,
@@ -1532,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequence_sums": SQL_PACK_SEQUENCE_SUMS,
         "repetition_signals": SQL_REPETITION_SIGNALS,
         "pii_screen_by_source": _sql_pii_screen(),
+        "pii_redact": _sql_pii_redact(),
         "profile_events": _sql_profile_events(),
         "top_users": SQL_TOP_USERS,
         "session_stats": SQL_SESSION_STATS,

@@ -872,3 +872,18 @@ def test_release_persisted_frees_cached_relations(spark):
     r2.collect()
     assert jsc.getPersistentRDDs().size() == before
     assert release_persisted(r2) == 0
+
+
+def test_redact_pii_hand_computed(spark):
+    from data_linter_spark.functions.text import pii_screen, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or call +1 555 123 4567 at 10.0.0.1 ok")],
+        "id int, text string",
+    )
+    out = redact_pii(df, "text").collect()[0]["text"]
+    assert "a@b.co" not in out and "555" not in out and "10.0.0.1" not in out
+    assert out.count("[PII]") == 3 and out.endswith(" ok")
+    # rescreen of redacted text is clean
+    r = pii_screen(redact_pii(df, "text"), "text").collect()[0]
+    assert r["pii_free"] is True
