@@ -689,21 +689,37 @@ def connected_components(
 
 
 def apply_dedup(
-    corpus: DataFrame, labels: DataFrame, id_col: str
+    corpus: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    max_broadcast_drops: Optional[int] = 50_000_000,
 ) -> DataFrame:
     """Materialize the DEDUPED corpus from a cluster labeling: keep each
     cluster's representative (``id == rep``), drop the rest; docs absent
     from ``labels`` were never in any near-dup pair and are kept untouched.
 
-    Scale shape: the drop set is |near-dup docs| - |clusters| rows — tiny
-    relative to the corpus — so the anti-join broadcasts it and the corpus
-    never shuffles (AQE picks the broadcast; the explicit hint pins it).
+    Scale shape: the drop set is |near-dup docs| - |clusters| rows. On a
+    lightly-duplicated corpus that is tiny and the anti-join broadcasts it
+    (the corpus never shuffles). But a web crawl commonly carries a
+    30-50% dup rate — at 10^12 docs the drop set is billions of ids and a
+    PINNED broadcast would blow Spark's 8 GB broadcast ceiling. Same
+    measured guard as ``contamination_pairs``' ``max_bench_shingles``: a
+    capped ``limit(k+1).count()`` probe on the drop set picks the
+    broadcast hint below the threshold and a plain shuffle left-anti
+    above it (AQE still co-partitions both sides on ``id_col``; at that
+    duplication level the corpus shuffle is unavoidable and correct).
+    Pass ``max_broadcast_drops=None`` to pin the broadcast unconditionally.
     This is the step that turns the pairs->clusters analytics into the
     training corpus actually shipped."""
     drops = labels.filter(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )
-    return corpus.join(F.broadcast(drops), on=id_col, how="left_anti")
+    use_broadcast = True
+    if max_broadcast_drops is not None:
+        n_drops = drops.limit(max_broadcast_drops + 1).count()
+        use_broadcast = n_drops <= max_broadcast_drops
+    right = F.broadcast(drops) if use_broadcast else drops
+    return corpus.join(right, on=id_col, how="left_anti")
 
 
 # -- benchmark contamination screen -----------------------------------------

@@ -124,11 +124,18 @@ def _raw_image_features(payload: bytes) -> dict:
     # features: per-channel means + a 2x2 grid of grayscale means +
     # overall std, padded to FEATURE_DIM
     gray = a.mean(axis=2)
-    gh, gw = max(h // 2, 1), max(w // 2, 1)
+    # 2x2 grid with clamped boundaries: for h==1 or w==1 the second
+    # half-slice would be EMPTY and np.mean would silently emit NaN into
+    # the feature vector (ADVICE r3) — clamp the second slice's start to
+    # the last row/col so every cell is non-empty (degenerate axes share
+    # the single row/col between both cells).
+    mid_r, mid_c = max(h // 2, 1), max(w // 2, 1)
+    row_slices = [slice(0, mid_r), slice(min(mid_r, h - 1), h)]
+    col_slices = [slice(0, mid_c), slice(min(mid_c, w - 1), w)]
     grid = [
-        float(gray[i * gh:(i + 1) * gh or None, j * gw:(j + 1) * gw or None].mean())
-        for i in range(2)
-        for j in range(2)
+        float(gray[rs, cs].mean())
+        for rs in row_slices
+        for cs in col_slices
     ]
     feats = [float(a[..., c].mean()) / 255.0 for c in range(3)]
     feats += [g / 255.0 for g in grid]

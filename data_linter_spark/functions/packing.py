@@ -10,20 +10,87 @@ numbers a pipeline needs from the tokens table before launching a run:
   contamination when packing without attention masking),
 - packing efficiency (fraction of the last window's capacity actually used).
 
-All of it derives from ONE window cumulative sum per group — no data
-movement beyond the hash shuffle on the group column. At 10^12 rows a
-single group's window is one sorted task; for a pathologically hot group,
-the standard two-phase form applies (per-input-partition partial sums, then
-a broadcast prefix-offset join) — the accounting below is deliberately the
-simple declarative shape, and the skewed-``source`` story for verdicts
-(salted_grouped_verdict_df) does not apply here because packing REQUIRES a
-total order within the group.
+Everything derives from a per-group cumulative token sum in ``order_col``
+order. Two implementations of that prefix sum live here:
+
+- :func:`pack_sequences` — the declarative single-window form
+  (``Window.partitionBy(group).orderBy(order)``). One hash shuffle, but the
+  whole group sorts in ONE task: correct at any size, a scale-killer when
+  one group holds a large fraction of a 10^12-row corpus (the north-rule's
+  ``source`` column is exactly that skewed). Kept as the oracle-parity
+  reference and for modest group sizes.
+- :func:`pack_sequences_skew_safe` — the two-phase distributed prefix sum:
+  range-partition on ``(group, order)`` so a hot group spans MANY
+  partitions, local Arrow-batched cumulative sums within each partition
+  (no second shuffle of the data), per-``(partition, group)`` totals
+  reduced map-side into a driver-tiny prefix-offset table, broadcast
+  back. Task size is bounded by the range-partition size regardless of
+  group skew; the only full-data shuffle is the range exchange, which is
+  the same single-shuffle floor as the declarative form.
+
+ORDER SEMANTICS: packing requires a TOTAL order within each group.
+``order_col`` must be unique per group (e.g. a document id). With duplicate
+order keys the declarative form's explicit ROWS frame and the skew-safe
+form's positional cumsum both remain *valid* packings but may disagree with
+each other and across runs on the tied rows; pass
+``check_order_unique=True`` to fail fast instead (one extra aggregate over
+the group/order projection).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _assert_order_unique(
+    df: DataFrame, group_col: str, order_col: str
+) -> None:
+    dup = (
+        df.groupBy(group_col, order_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"pack_sequences: order column {order_col!r} is not unique "
+            f"within {group_col!r} groups; packing needs a total order"
+        )
+
+
+def _finalize(assigned: DataFrame, group_col: str, order_col: str,
+              n_tok_col: str, context_len: int) -> DataFrame:
+    """Shared tail: from (group, order, n_tok, __cum_end) to the public
+    assignment schema, every numeric column pinned to bigint."""
+    L = F.lit(context_len).cast("long")
+    n_tok = F.col(n_tok_col)
+    start = (F.col("__cum_end") - n_tok).alias("start_offset")
+    seq_id = F.floor(F.col("start_offset") / L)
+    end_seq = F.when(
+        n_tok > 0, F.floor((F.col("__cum_end") - 1) / L)
+    ).otherwise(F.floor(F.col("start_offset") / L))
+    return (
+        assigned.select(group_col, order_col, n_tok_col, start, "__cum_end")
+        .select(
+            group_col,
+            order_col,
+            n_tok_col,
+            F.col("start_offset").cast("long").alias("start_offset"),
+            seq_id.cast("long").alias("seq_id"),
+            F.pmod(F.col("start_offset"), L).cast("long").alias(
+                "offset_in_seq"
+            ),
+            end_seq.cast("long").alias("end_seq_id"),
+        )
+        .withColumn(
+            "n_seqs_spanned",
+            (F.col("end_seq_id") - F.col("seq_id") + 1).cast("long"),
+        )
+    )
 
 
 def pack_sequences(
@@ -32,6 +99,7 @@ def pack_sequences(
     order_col: str,
     n_tok_col: str,
     context_len: int = 2048,
+    check_order_unique: bool = False,
 ) -> DataFrame:
     """Materialize the packing ASSIGNMENT (not just its accounting): which
     context window each document's tokens land in under per-group
@@ -43,41 +111,128 @@ def pack_sequences(
     concatenated stream, ``seq_id = floor(start_offset / L)`` is the window
     holding that first token, ``offset_in_seq`` its position within the
     window, and ``end_seq_id`` the window of the LAST token (==
-    ``seq_id`` unless the doc straddles). One window cumsum per group —
-    the same single-shuffle shape as :func:`packing_stats`; packing
-    requires a total order within the group, so the group hash shuffle is
-    the theoretical floor."""
-    L = F.lit(context_len).cast("long")
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    ``seq_id`` unless the doc straddles). Declarative one-window-per-group
+    form (explicit ROWS frame, so tied order keys degrade to positional
+    rather than shared-cumsum semantics); see
+    :func:`pack_sequences_skew_safe` for the form that survives a hot
+    group at 10^12 rows."""
+    if check_order_unique:
+        _assert_order_unique(df, group_col, order_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n_tok = F.col(n_tok_col).cast("long")
-    cum_end = F.sum(n_tok).over(w)
-    start = (cum_end - n_tok).alias("start_offset")
-    seq_id = F.floor(F.col("start_offset") / L)
-    end_seq = F.when(
-        n_tok > 0, F.floor((F.col("__cum_end") - 1) / L)
-    ).otherwise(F.floor(F.col("start_offset") / L))
-    return (
-        df.select(
-            F.col(group_col),
-            F.col(order_col),
-            n_tok.alias(n_tok_col),
-            start,
-            cum_end.alias("__cum_end"),
-        )
-        .select(
-            group_col,
-            order_col,
-            n_tok_col,
-            "start_offset",
-            seq_id.alias("seq_id"),
-            F.pmod(F.col("start_offset"), L).cast("long").alias("offset_in_seq"),
-            end_seq.alias("end_seq_id"),
-        )
+    base = df.select(
+        F.col(group_col),
+        F.col(order_col),
+        n_tok.alias(n_tok_col),
+    ).withColumn("__cum_end", F.sum(n_tok_col).over(w))
+    return _finalize(base, group_col, order_col, n_tok_col, context_len)
+
+
+def pack_sequences_skew_safe(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_tok_col: str,
+    context_len: int = 2048,
+    num_partitions: int | None = None,
+    check_order_unique: bool = False,
+) -> DataFrame:
+    """Two-phase distributed prefix sum: identical output to
+    :func:`pack_sequences` (asserted in tests), with NO single-task-per-
+    group sort. Plan shape, in order:
+
+    1. ``repartitionByRange(group, order)`` — the one full-data shuffle;
+       a hot group spans as many range partitions as its row share
+       demands, so no task exceeds the range-partition size.
+    2. ``sortWithinPartitions(group, order)`` + Arrow-batched
+       ``mapInPandas`` computing each partition's LOCAL cumulative sum
+       (carry state across Arrow batches; groups are contiguous after the
+       sort). No shuffle — the data never moves again.
+    3. Per-``(partition, group)`` token totals via map-side partial
+       aggregation (tiny shuffle of one row per partition×group), prefix
+       offsets over partition id with a window on that driver-tiny frame.
+    4. Broadcast the offset table back onto the local cumsums; global
+       ``cum_end = local_cum_end + offset``.
+
+    The range exchange feeds both (2) and (3), so Spark reuses the
+    shuffle files (ReusedExchange) instead of scanning the input twice."""
+    if check_order_unique:
+        _assert_order_unique(df, group_col, order_col)
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(n_tok_col).cast("long").alias(n_tok_col),
+    )
+    ranged = base.repartitionByRange(
+        n_parts, F.col(group_col), F.col(order_col)
+    ).withColumn("__pid", F.spark_partition_id())
+
+    # (3) per-(pid, group) totals -> prefix offsets; one row per
+    # partition×group touched, so driver-small by construction.
+    totals = ranged.groupBy("__pid", group_col).agg(
+        F.sum(n_tok_col).alias("__part_total")
+    )
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__pid",
+        group_col,
+        (F.sum("__part_total").over(off_w) - F.col("__part_total")).alias(
+            "__offset"
+        ),
+    )
+
+    # (2) local cumsum, Arrow-batched, carry across batches per partition.
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in ranged.schema.fields
+    )
+    out_schema = f"{fields}, __local_cum_end bigint"
+
+    def local_cumsum(batches: Iterator) -> Iterator:
+        carry: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            local = pdf.groupby(group_col, sort=False, dropna=False)[
+                n_tok_col
+            ].cumsum()
+            start_off = pdf[group_col].map(
+                lambda g: carry.get(g, 0)
+            )
+            pdf = pdf.assign(__local_cum_end=local + start_off)
+            tail = pdf.groupby(group_col, sort=False, dropna=False).tail(1)
+            for g, e in zip(tail[group_col], tail["__local_cum_end"]):
+                carry[g] = int(e)
+            yield pdf
+
+    local = ranged.sortWithinPartitions(group_col, order_col).mapInPandas(
+        local_cumsum, schema=out_schema
+    )
+
+    # (4) broadcast offsets, map-side join; no further shuffle.
+    assigned = (
+        local.join(F.broadcast(offsets), ["__pid", group_col], "left")
         .withColumn(
-            "n_seqs_spanned",
-            (F.col("end_seq_id") - F.col("seq_id") + 1).cast("long"),
+            "__cum_end",
+            (
+                F.col("__local_cum_end")
+                + F.coalesce(F.col("__offset"), F.lit(0))
+            ).cast("long"),
         )
     )
+    return _finalize(assigned, group_col, order_col, n_tok_col, context_len)
 
 
 def pack_sequence_sums(
@@ -86,6 +241,7 @@ def pack_sequence_sums(
     order_col: str,
     n_tok_col: str,
     context_len: int = 2048,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-window token accounting derived from the assignment: ``(group,
     seq_id, n_docs, seq_tokens)``. Every window must hold exactly
@@ -94,7 +250,8 @@ def pack_sequence_sums(
     map-side explode over the spanned window range (n_seqs_spanned is tiny
     for real documents), then one groupBy."""
     L = F.lit(context_len).cast("long")
-    assigned = pack_sequences(df, group_col, order_col, n_tok_col, context_len)
+    assign = pack_sequences_skew_safe if skew_safe else pack_sequences
+    assigned = assign(df, group_col, order_col, n_tok_col, context_len)
     spanned = assigned.filter(F.col(n_tok_col) > 0).select(
         group_col,
         "start_offset",
@@ -118,6 +275,7 @@ def packing_stats(
     order_col: str,
     n_tok_col: str,
     context_len: int = 2048,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-group packing accounting for concat-and-chunk packing in
     ``order_col`` order: ``(group, n_docs, total_tokens, n_windows,
@@ -126,17 +284,15 @@ def packing_stats(
     A document straddles a boundary when its first and last token land in
     different windows: floor(start/L) != floor((start + n_tok - 1)/L)."""
     L = F.lit(context_len).cast("long")
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    cum_end = F.sum(F.col(n_tok_col).cast("long")).over(w)
-    start = cum_end - F.col(n_tok_col)
-    crosses = (
-        (F.col(n_tok_col) > 0)
-        & (F.floor(start / L) != F.floor((cum_end - 1) / L))
-    )
-    flagged = df.select(
+    assign = pack_sequences_skew_safe if skew_safe else pack_sequences
+    assigned = assign(df, group_col, order_col, n_tok_col, context_len)
+    flagged = assigned.select(
         F.col(group_col).alias("grp"),
         F.col(n_tok_col).cast("long").alias("__n_tok"),
-        crosses.alias("__crosses"),
+        (
+            (F.col(n_tok_col) > 0)
+            & (F.col("end_seq_id") != F.col("seq_id"))
+        ).alias("__crosses"),
     )
     total = F.sum("__n_tok")
     n_windows = F.ceil(total / L).cast("long")

@@ -80,18 +80,35 @@ class PartitionManifest:
         return os.path.join(self.path, f"part-{safe}-{digest}.json")
 
     def _list_record_files(self) -> list[str]:
-        """Full paths of committed record files, sorted by name."""
+        """Full paths of committed record files, sorted by name. Both
+        backends agree on record semantics (ADVICE r3): DIRECT children of
+        the manifest dir only (HadoopFS.list_files is recursive — a nested
+        directory must not contribute phantom records), and zero-byte
+        files are skipped on both (a torn write is "not committed", not a
+        JSON parse crash)."""
         if self._fs is not None:
+            base = self._uri_path(self.path)
             return [
                 p
                 for p in self._fs.list_files(self.path, ext=".json")
                 if os.path.basename(p).startswith("part-")
+                and self._uri_path(p).rsplit("/", 1)[0] == base
             ]
         return [
             os.path.join(self.path, f)
             for f in sorted(os.listdir(self.path))
-            if f.startswith("part-") and f.endswith(".json")
+            if f.startswith("part-")
+            and f.endswith(".json")
+            and os.path.getsize(os.path.join(self.path, f)) > 0
         ]
+
+    @staticmethod
+    def _uri_path(uri: str) -> str:
+        """Path component of a possibly-scheme-qualified URI, trailing
+        slash stripped — Hadoop normalizes 'file:///x' to 'file:/x', so
+        comparing raw strings would miscompare parents."""
+        parsed = urllib.parse.urlparse(uri)
+        return (parsed.path if parsed.scheme else uri).rstrip("/")
 
     def _read_json(self, p: str) -> dict:
         if self._fs is not None:

@@ -276,14 +276,21 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_MIN_COS}
 
 
 def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals AND whitespace-token accounting per source in ONE
+    documents scan (absorbed the r3 ``token_count_by_source`` entry: same
+    groupBy, so fusing them halves the scans and frees a slot under the
+    driver's 50-query correctness cap)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     c = F.col("text")
+    n_tok = F.size(F.split(c, " "))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(tx.quality_score(c)), 4).alias("avg_quality"),
         F.round(F.avg(tx.punct_ratio(c)), 4).alias("avg_punct"),
         F.round(F.avg(tx.stopword_ratio(c)), 4).alias("avg_stopword"),
         F.round(F.avg(tx.mean_word_length(c)), 4).alias("avg_word_len"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
     )
 
 
@@ -331,7 +338,9 @@ SELECT source,
        ROUND(AVG({quality}), 4) AS avg_quality,
        ROUND(AVG({punct}), 4) AS avg_punct,
        ROUND(AVG({sw_ratio}), 4) AS avg_stopword,
-       ROUND(AVG({mwl}), 4) AS avg_word_len
+       ROUND(AVG({mwl}), 4) AS avg_word_len,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
 FROM documents
 GROUP BY source
 """

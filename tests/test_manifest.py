@@ -259,6 +259,25 @@ def test_manifest_over_hadoopfs_file_scheme(spark, tmp_path):
     assert strip(m2.records()) == strip(m3.records())
 
 
+def test_list_records_direct_children_both_backends(spark, tmp_path):
+    """A nested directory holding part-*.json files must NOT contribute
+    manifest records on either backend (HadoopFS.list_files is recursive —
+    ADVICE r3), and zero-byte part files count as uncommitted, not a JSON
+    crash."""
+    import os
+
+    for base in (str(tmp_path / "os_store"), f"file://{tmp_path}/fs_store"):
+        m = PartitionManifest(base)
+        m.record("p1", "pass", {"rows": 1})
+        local = str(tmp_path / ("os_store" if "://" not in base else "fs_store"))
+        nested = os.path.join(local, "archive")
+        os.makedirs(nested)
+        with open(os.path.join(nested, "part-zz-deadbeef.json"), "w") as fh:
+            fh.write('{"partition_id": "phantom", "status": "pass"}')
+        open(os.path.join(local, "part-torn-00000000.json"), "w").close()
+        assert m.done_partitions() == {"p1"}, base
+
+
 def test_global_unique_screen_only_skips_exact_pass(spark, tmp_path, monkeypatch):
     """--unique-screen-only must actually short-circuit the exact
     duplicate_stats pass in the global phase (ADVICE r2: the flag was

@@ -123,6 +123,28 @@ def test_raw_image_decode_resize_real(spark):
     assert resized["bad"]["resize_ok"] is False
 
 
+def test_raw_image_degenerate_1px_axes_no_nan(spark):
+    """h==1 / w==1 images: the 2x2 grid's second half-slice would be empty
+    and np.mean would emit NaN into the feature vector with decode_ok True
+    (ADVICE r3) — clamped boundaries must yield finite features."""
+    import math
+
+    import numpy as np
+
+    from data_linter_spark.functions.multimodal import (
+        _raw_image_features,
+        encode_raw_image,
+    )
+
+    for shape in ((1, 8, 3), (8, 1, 3), (1, 1, 3)):
+        img = np.full(shape, 100, dtype=np.uint8)
+        out = _raw_image_features(encode_raw_image(img))
+        assert out["ok"] is True
+        assert all(math.isfinite(f) for f in out["features"]), shape
+        # all-constant image: every grid mean equals the channel mean
+        assert abs(out["features"][3] - 100 / 255.0) < 1e-9
+
+
 def test_wav_decode_real(spark):
     """WAV PCM decodes with the stdlib: duration, channels, and an rms
     that matches the generated sine's analytic value."""

@@ -1,0 +1,101 @@
+"""Stricter replica of the driver's correctness hash: compare Spark vs
+DuckDB oracle results AS PANDAS FRAMES — values AND dtypes — after the
+driver's canonicalization (columns sorted by name, rows sorted). This is
+the check that catches representation-only mismatches `oracle_check.py`'s
+Python-value comparison cannot see: DuckDB's SUM(BIGINT) widens to HUGEINT
+which lands in pandas as float64 and hash-mismatches Spark's int64 even
+when every value is numerically identical (the r3 `pack_sequences` red
+cell). Usage:
+
+    python tools/dtype_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    out = pdf[cols]
+    # Spark's toPandas always yields datetime64[ns]; DuckDB yields [us].
+    # Unit is a conversion artifact, not a representation choice either
+    # engine controls — normalize so only real drift fails.
+    for c in cols:
+        if str(out[c].dtype).startswith("datetime64"):
+            out = out.assign(**{c: out[c].astype("datetime64[ns]")})
+    if len(out):
+        out = out.sort_values(cols, kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="dtype_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            sp = canon(fn(spark, sf_dir).toPandas())
+            op = canon(con.sql(oracles[name]).fetchdf())
+        except Exception as ex:  # pragma: no cover - diagnostic path
+            print(f"{name:28s} ERROR {str(ex)[:120]}")
+            n_fail += 1
+            continue
+        problems = []
+        if list(sp.columns) != list(op.columns):
+            problems.append(f"cols {list(sp.columns)} != {list(op.columns)}")
+        elif list(map(str, sp.dtypes)) != list(map(str, op.dtypes)):
+            bad = [
+                f"{c}: spark={a} oracle={b}"
+                for c, a, b in zip(
+                    sp.columns,
+                    map(str, sp.dtypes),
+                    map(str, op.dtypes),
+                )
+                if a != b
+            ]
+            problems.append("dtypes " + "; ".join(bad))
+        if len(sp) != len(op):
+            problems.append(f"rows {len(sp)} != {len(op)}")
+        elif not problems and not sp.equals(op):
+            # dtype-equal but value drift: show first differing cell
+            neq = (sp != op) & ~(sp.isna() & op.isna())
+            loc = [(c, i) for c in sp.columns for i in sp.index[neq[c]]][:3]
+            problems.append(f"values differ at {loc}")
+        if problems:
+            print(f"{name:28s} FAIL  {' | '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"{name:28s} PASS  rows={len(sp)}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

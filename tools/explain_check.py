@@ -79,7 +79,7 @@ CHECKS = {
         "single_scan": lambda p: n_scans(p) == 1,
         "prunes_lang": lambda p: "lang" not in p,
     },
-    "unique_lineitem": {
+    "unique_checks": {
         "partial_agg": lambda p: "partial_count" in p or "HashAggregate" in p,
         "prunes_to_key": lambda p: "l_quantity" not in p,
     },
@@ -115,14 +115,19 @@ CHECKS = {
         "prunes_props": lambda p: "props" not in p,
     },
     "pack_sequences": {
-        # one window cumsum per group: one scan, one shuffle on the group
-        # key, and the heavy text/lang columns never read
-        "single_scan": lambda p: n_scans(p) == 1,
+        # two-phase skew-safe prefix sum: ONE full-data shuffle (the range
+        # exchange, reused by the totals branch), Arrow local cumsum, no
+        # per-group single-task window sort; heavy text/lang never read
+        "range_exchange": lambda p: "rangepartitioning" in p.lower(),
+        "arrow_local_cumsum": lambda p: "MapInPandas" in p,
+        "reused_exchange": lambda p: "ReusedExchange" in p,
+        "no_group_window_sort": lambda p: "Window" not in p
+        or "__part_total" in p,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
-        "codegen": lambda p: "codegen id" in p,
     },
     "pack_sequence_sums": {
-        "single_scan": lambda p: n_scans(p) == 1,
+        "range_exchange": lambda p: "rangepartitioning" in p.lower(),
+        "arrow_local_cumsum": lambda p: "MapInPandas" in p,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
     "repetition_signals": {
