@@ -18,7 +18,11 @@ order. Two implementations of that prefix sum live here:
   whole group sorts in ONE task: correct at any size, a scale-killer when
   one group holds a large fraction of a 10^12-row corpus (the north-rule's
   ``source`` column is exactly that skewed). Kept as the oracle-parity
-  reference and for modest group sizes.
+  reference and for modest group sizes. Measured cliff
+  (``tools/pack_skew_demo.py``, local[32], 8g heap): fine at a 6M-row hot
+  group (5.5 s / 20M rows, ~1.5x faster than two-phase), **OutOfMemoryError
+  at a 40M-row hot group** — the failure is a memory cliff in the single
+  window task, not a gradual slowdown.
 - :func:`pack_sequences_skew_safe` — the two-phase distributed prefix sum:
   range-partition on ``(group, order)`` so a hot group spans MANY
   partitions, local Arrow-batched cumulative sums within each partition
@@ -26,7 +30,10 @@ order. Two implementations of that prefix sum live here:
   reduced map-side into a driver-tiny prefix-offset table, broadcast
   back. Task size is bounded by the range-partition size regardless of
   group skew; the only full-data shuffle is the range exchange, which is
-  the same single-shuffle floor as the declarative form.
+  the same single-shuffle floor as the declarative form. Completes the
+  40M-one-group input that OOMs the declarative form (16.3 s, 2.45M
+  rows/s — see module demo script above); this is the form the registered
+  queries use.
 
 ORDER SEMANTICS: packing requires a TOTAL order within each group.
 ``order_col`` must be unique per group (e.g. a document id). With duplicate

@@ -1,0 +1,85 @@
+"""Reproduces the hot-group packing evidence recorded in BENCH/BASELINE.md
+(round 4): per-group concat-and-chunk packing on a table whose ``source``
+column is ONE giant group.
+
+    python tools/pack_skew_demo.py [n_rows] [hot_pct] [declarative|skew_safe|both]
+
+Measured on this box (local[32], default 8g driver heap, 40M rows all in
+one group, 2026-08-17):
+
+- ``pack_sequences`` (declarative window): the whole group lands in ONE
+  window task -> java.lang.OutOfMemoryError: Java heap space.
+- ``pack_sequences_skew_safe`` (two-phase range-partitioned prefix sum):
+  completes in 16.3 s (2.45M rows/s) on the identical input.
+
+At 20M rows with a 30% hot group both complete, and the declarative form
+is ~1.5x faster (5.5 s vs 8.1 s) because a 6M-row in-memory sort is cheap
+while the two-phase form pays an Arrow round-trip over all rows. The
+crossover is a MEMORY cliff, not a gradual slope: the declarative form is
+fine until the hot group outgrows one task's heap, then it dies — which at
+10^12 rows with the north-rule's 30% hot source is guaranteed. That is why
+the registered queries use the skew-safe form.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.packing import (  # noqa: E402
+    pack_sequences,
+    pack_sequences_skew_safe,
+)
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
+    hot_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    spark = get_spark(
+        app_name="pack_skew_demo", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(0, n, 1, 64).select(
+        F.when(F.col("id") % 100 < hot_pct, F.lit("common_crawl"))
+        .otherwise(
+            F.concat(F.lit("source_"), (F.col("id") % 37).cast("string"))
+        )
+        .alias("source"),
+        F.concat(
+            F.lit("doc-"), F.format_string("%09d", F.col("id"))
+        ).alias("doc_id"),
+        ((F.col("id") % 1997) + 1).cast("int").alias("n_tok"),
+    ).localCheckpoint(eager=True)
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn(df, "source", "doc_id", "n_tok", 2048).agg(
+            F.sum("seq_id"), F.max("end_seq_id")
+        ).collect()
+        return time.perf_counter() - t0
+
+    impls = {
+        "declarative": pack_sequences,
+        "skew_safe": pack_sequences_skew_safe,
+    }
+    for name, fn in impls.items():
+        if which not in ("both", name):
+            continue
+        warm = timed(fn)
+        best = min(timed(fn) for _ in range(2))
+        print(
+            f"{name}: {best:.2f}s ({n / best / 1e6:.2f}M rows/s) "
+            f"warm={warm:.2f}s",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""One committed run of the full validation workload at a BIG row count —
+the sandbox's closest proxy for the 100x question (r3 verdict task 8).
+
+    python tools/scale_rung.py [n_rows] [cpus] [trials]
+
+Materializes the synthetic tokens table (tmpfs if SPARK_GRAFT_BENCH_PATH
+points there, else /tmp), then runs tools/scaling_worker.py once at the
+given parallelism and appends a rung record to BENCH/.
+
+Memory notes for picking n_rows on this 125 GiB box: the 80M-row table is
+7.5 GB of parquet (~94 B/row), so 500M rows ~ 47 GB — the largest input
+that fits tmpfs alongside Spark's shuffle dirs with headroom. 10^9 rows
+(~94 GB) only fits as a generate-on-the-fly run (no materialized input),
+which measures generation+validation instead of read+validation; use
+--no-materialize for that variant and the record labels it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def materialize(n_rows: int, base: str) -> str:
+    path = os.path.join(base, f"tokens_rung_{n_rows}.parquet")
+    if os.path.exists(path):
+        return path
+    code = (
+        "from data_linter_spark.session import get_spark\n"
+        "from data_linter_spark.tokens import synthetic_tokens\n"
+        "spark = get_spark(app_name='materialize_rung', master='local[32]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"synthetic_tokens(spark, {n_rows}, n_partitions=256)"
+        f".write.mode('overwrite').parquet({path!r})\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, check=True, timeout=7200,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    return path
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    base = os.environ.get("SPARK_GRAFT_RUNG_DIR", "/dev/shm/spark_graft_bench")
+    os.makedirs(base, exist_ok=True)
+    t0 = time.time()
+    path = materialize(n_rows, base)
+    mat_s = time.time() - t0
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+         str(cpus), path, str(trials)],
+        capture_output=True, text=True, timeout=7200,
+    )
+    sys.stderr.write(out.stderr[-2000:])
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["materialize_sec"] = round(mat_s, 1)
+    rec["input_path"] = path
+    rec["loadavg"] = round(os.getloadavg()[0], 2)
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"rung_{n_rows}_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps(rec))
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
