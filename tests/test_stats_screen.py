@@ -1,0 +1,157 @@
+"""Parquet footer-stats fast path: constraint verdicts proven from
+column-chunk statistics with zero data scan, and the pruned fused plan
+reading only undecided columns. Extends the reference's footer-only
+ParquetValidator idea (parquet_validator.py:22-81, schema equality) to
+constraint OUTCOMES."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_linter_spark.checks.stats_screen import (
+    PROVEN_KEY,
+    fill_response_from_screen,
+    parquet_stats_screen,
+    prune_proven,
+    validate_parquet_with_stats_fast_path,
+)
+from data_linter_spark.compiler import ConstraintPlan
+from data_linter_spark.metadata import Metadata
+
+META = {
+    "name": "toks",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "doc_id", "type": "string", "nullable": False},
+        {
+            "name": "n_tok", "type": "int32", "nullable": False,
+            "minimum": 1, "maximum": 4096,
+        },
+        {"name": "tokens", "type": "list<int32>", "minimum": 0,
+         "maximum": 50256},
+    ],
+}
+
+
+def _write(path, n_tok_vals, token_rows, ids=None):
+    n = len(n_tok_vals)
+    t = pa.table(
+        {
+            "doc_id": ids or [f"d{i}" for i in range(n)],
+            "n_tok": pa.array(n_tok_vals, pa.int32()),
+            "tokens": pa.array(token_rows, pa.list_(pa.int32())),
+        }
+    )
+    pq.write_table(t, path)
+
+
+@pytest.fixture()
+def clean_dirty_dir(tmp_path):
+    d = tmp_path / "tbl"
+    d.mkdir()
+    _write(str(d / "clean.parquet"), list(range(1, 101)), [[1, 2, 3]] * 100)
+    _write(
+        str(d / "dirty.parquet"),
+        [None if i % 10 == 0 else 5000 + i for i in range(50)],
+        [[60000, 2]] * 50,
+        ids=[f"e{i}" for i in range(50)],
+    )
+    return str(d)
+
+
+def test_screen_proves_pass_on_clean_file(clean_dirty_dir):
+    r = parquet_stats_screen(clean_dirty_dir + "/clean.parquet", META)
+    cols = r["columns"]
+    assert cols["n_tok"]["min_max_test"]["status"] == "pass"
+    assert cols["n_tok"]["nullable_test"]["status"] == "pass"
+    assert cols["doc_id"]["nullable_test"]["status"] == "pass"
+    # array element bounds proven from the leaf chunk stats
+    assert cols["tokens"]["min_max_test"]["status"] == "pass"
+    assert r["rows"] == 100 and r["files"] == 1
+
+
+def test_screen_proves_fail_with_lower_bounds(clean_dirty_dir):
+    r = parquet_stats_screen(clean_dirty_dir + "/dirty.parquet", META)
+    cols = r["columns"]
+    # 50 rows, 5 nulls -> 45 values all above maximum
+    assert cols["n_tok"]["min_max_test"] == {
+        "status": "fail", "proven_violations": 45,
+    }
+    assert cols["n_tok"]["nullable_test"] == {
+        "status": "fail", "proven_violations": 5,
+    }
+    # element 60000 > 50256 but element 2 is in range: stats can't decide
+    assert cols["tokens"]["min_max_test"]["status"] == "unknown"
+
+
+def test_per_chunk_disproof_survives_clean_neighbors(clean_dirty_dir):
+    """Judging per row group means the dirty file's proof is not washed
+    out by the clean file's extremes when screening the whole directory."""
+    r = parquet_stats_screen(clean_dirty_dir, META)
+    cols = r["columns"]
+    assert cols["n_tok"]["min_max_test"]["status"] == "fail"
+    assert cols["n_tok"]["min_max_test"]["proven_violations"] == 45
+    assert cols["n_tok"]["nullable_test"]["proven_violations"] == 5
+    assert cols["doc_id"]["nullable_test"]["status"] == "pass"
+
+
+def test_prune_proven_shrinks_scan_schema(spark, clean_dirty_dir):
+    """After pruning stats-proven specs, the fused aggregation no longer
+    references the proven columns — Catalyst column-pruning shrinks
+    ReadSchema, the actual IO win at 100 TB."""
+    path = clean_dirty_dir + "/clean.parquet"
+    meta = Metadata(META)
+    df = spark.read.parquet(path)
+    plan = ConstraintPlan(df, meta)
+    n_before = len(plan.specs)
+    screen = parquet_stats_screen(path, meta)
+    decided = prune_proven(plan, screen)
+    assert len(decided) == 4 and len(plan.specs) == n_before - 4
+    if plan.specs:  # whatever remains must not re-reference proven cols
+        plan_str = plan.verdict_df()._jdf.queryExecution().executedPlan().toString()
+        assert "n_tok" not in plan_str.split("ReadSchema")[-1]
+
+
+def test_fast_path_end_to_end_matches_full_scan(spark, clean_dirty_dir):
+    """Fast-path response agrees with the full-scan plan on every
+    (column, test) verdict, for clean, dirty and mixed inputs."""
+    from data_linter_spark.response import ValidatorResult
+
+    for sub in ("/clean.parquet", "/dirty.parquet", ""):
+        path = clean_dirty_dir + sub
+        resp, screen, decided = validate_parquet_with_stats_fast_path(
+            spark, path, META
+        )
+        full = ConstraintPlan(
+            spark.read.parquet(path), Metadata(META)
+        ).run(ValidatorResult())
+        got = resp.get_result()
+        want = full.get_result()
+        for col in ("doc_id", "n_tok", "tokens"):
+            for test, w in want[col].items():
+                if not isinstance(w, dict) or "valid" not in w:
+                    continue
+                assert got[col][test]["valid"] == w["valid"], (sub, col, test)
+        # proven outcomes are marked as footer-derived
+        for (col, test), v in decided.items():
+            assert got[col][test]["test_inputs"][PROVEN_KEY] is True
+
+
+def test_fast_path_skips_scan_when_everything_proven(spark, tmp_path):
+    """A fully-provable table validates without ANY Spark job beyond the
+    footer read (the plan has no remaining specs)."""
+    p = str(tmp_path / "all_clean.parquet")
+    _write(p, [5] * 20, [[1]] * 20)
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "n_tok", "type": "int32", "nullable": False,
+             "minimum": 1, "maximum": 10},
+        ],
+    }
+    df = spark.read.parquet(p)
+    plan = ConstraintPlan(df, Metadata(meta))
+    decided = prune_proven(plan, parquet_stats_screen(p, meta))
+    assert plan.specs == [] and len(decided) == 2
+    resp, _, _ = validate_parquet_with_stats_fast_path(spark, p, meta)
+    assert resp.result["valid"] is True
