@@ -367,6 +367,134 @@ def minhash_near_dups(
     return _track_persisted(result, [sets] if cache else [])
 
 
+# -- incremental dedup against a signature store ----------------------------
+
+
+def band_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable signature STORE for incremental dedup:
+    ``(band_idx, band_key, id)`` rows for every document. A training
+    pipeline writes this relation once per ingested batch (bucketed by
+    ``(band_idx, band_key)`` at scale so future probe joins are
+    co-located) instead of re-minhashing the whole corpus each crawl.
+    All parameters must match between store and probe — band keys are
+    only comparable under identical (n, n_hashes, bands, rows_per_band,
+    seed)."""
+    sets = word_shingle_sets(df, id_col, text_col, n)
+    sig = minhash_signatures_from_sets(sets, n_hashes, seed)
+    return lsh_bands(sig, bands, rows_per_band)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    store: DataFrame,
+    old_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.6,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against the accumulated corpus WITHOUT
+    re-minhashing the corpus: the ingest-time shape of web-crawl dedup
+    (each batch is small; the corpus is 100 TB and already signed).
+
+    - new-vs-new: full minhash LSH within the batch.
+    - new-vs-old: the batch's band rows probe the STORE on
+      ``(band_idx, band_key)`` — a join whose shuffle is sized by the
+      BATCH (the store side is pre-bucketed on the band key at scale, so
+      it never re-shuffles). Corpus text is touched only for candidate
+      ids via a semi-join prune on ``old_docs`` — exact-Jaccard verify
+      re-shingles just those documents.
+
+    Returns ``(pairs, new_bands)``: ``pairs`` is
+    ``(id_a, id_b, jaccard, vs)`` with ``vs`` in {'new', 'old'} (id_a is
+    always the new-batch doc for 'old' rows), and ``new_bands`` is the
+    store delta to union into the store after dropping rejected docs.
+    Invariant (asserted in tests): pairs == the pairs a full
+    ``minhash_near_dups`` over old+new would emit that involve a new doc."""
+    from pyspark.storagelevel import StorageLevel
+
+    persisted = []
+    new_sets = word_shingle_sets(new_docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted.append(new_sets)
+    sig = minhash_signatures_from_sets(new_sets, n_hashes, seed)
+    new_bands = lsh_bands(sig, bands, rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted.append(new_bands)
+
+    # new-vs-new within the batch
+    nn_cands = (
+        new_bands.select("band_idx", "band_key", F.col("id").alias("id_a"))
+        .join(
+            new_bands.select(
+                "band_idx", "band_key", F.col("id").alias("id_b")
+            ),
+            on=["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nn = jaccard_for_pairs_sets(new_sets, nn_cands).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+
+    # new-vs-old: probe the store with the batch's bands
+    no_cands = (
+        new_bands.select("band_idx", "band_key", F.col("id").alias("id_a"))
+        .join(
+            store.select(
+                "band_idx", "band_key", F.col("id").alias("id_b")
+            ),
+            on=["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # touch corpus text only for candidate old ids (semi-join prune)
+    old_hit = old_docs.join(
+        no_cands.select(F.col("id_b").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    old_sets = word_shingle_sets(old_hit, id_col, text_col, n)
+    a = new_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    b = old_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    sz_a, sz_b = F.size(F.col("__sa")), F.size(F.col("__sb"))
+    no = (
+        no_cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (sz_a + sz_b - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+    pairs = nn.withColumn("vs", F.lit("new")).unionAll(
+        no.withColumn("vs", F.lit("old"))
+    )
+    return _track_persisted(pairs, persisted), new_bands
+
+
 # -- simhash ----------------------------------------------------------------
 
 

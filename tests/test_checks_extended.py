@@ -1022,6 +1022,58 @@ def test_apply_dedup_shuffle_fallback_above_threshold(spark):
     assert "UnresolvedHint" not in logical and "broadcast" not in logical.lower()
 
 
+def test_incremental_near_dups_matches_full_recompute(spark):
+    """The ingest-time incremental path (batch bands probe the stored
+    signature relation; corpus text semi-join-pruned to candidates) must
+    emit EXACTLY the near-dup pairs a full minhash pipeline over old+new
+    finds that involve a new doc — banding is deterministic, so the
+    incremental factorization is lossless."""
+    from data_linter_spark.functions.dedup import (
+        band_signature_store,
+        incremental_near_dups,
+        minhash_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_rows = [(i, f"{base} old{i} filler{i} more{i}") for i in range(40)]
+    # two planted near-dups of old docs, one near-dup pair within the batch
+    new_rows = [
+        (100, f"{base} old3 filler3 more3 x"),       # ~dup of old 3
+        (101, f"{base} old7 filler7 more7 yy"),      # ~dup of old 7
+        (102, f"{base} fresh content one two"),
+        (103, f"{base} fresh content one two z"),    # ~dup of 102
+        (104, "completely different words entirely unrelated text here now"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    store = band_signature_store(old, "doc_id", "text")
+    pairs, new_bands = incremental_near_dups(
+        new, store, old, "doc_id", "text", min_jaccard=0.6
+    )
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in pairs.collect()
+    }
+
+    full = minhash_near_dups(
+        old.unionAll(new), "doc_id", "text", min_jaccard=0.6
+    )
+    new_ids = {r[0] for r in new_rows}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want and len(got) >= 3
+    # vs labels: pairs touching an old id say 'old', batch-internal 'new'
+    for r in pairs.collect():
+        expect = "new" if r["id_a"] in new_ids and r["id_b"] in new_ids else "old"
+        assert r["vs"] == expect
+    # the store delta covers every new doc that produced bands
+    assert {r["id"] for r in new_bands.select("id").distinct().collect()} == new_ids
+
+
 def test_release_persisted_frees_cached_relations(spark):
     """The dedup family persists upstream relations (shingle sets, band
     signatures, fingerprints); release_persisted(result) must unpersist
