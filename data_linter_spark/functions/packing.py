@@ -70,9 +70,12 @@ def _assert_order_unique(
 
 
 def _finalize(assigned: DataFrame, group_col: str, order_col: str,
-              n_tok_col: str, context_len: int) -> DataFrame:
+              n_tok_col: str, context_len: int,
+              carry_cols: tuple = ()) -> DataFrame:
     """Shared tail: from (group, order, n_tok, __cum_end) to the public
-    assignment schema, every numeric column pinned to bigint."""
+    assignment schema, every numeric column pinned to bigint.
+    ``carry_cols`` ride along untouched (pack_windows threads the token
+    arrays through so no corpus-sized re-join is needed)."""
     L = F.lit(context_len).cast("long")
     n_tok = F.col(n_tok_col)
     start = (F.col("__cum_end") - n_tok).alias("start_offset")
@@ -81,7 +84,9 @@ def _finalize(assigned: DataFrame, group_col: str, order_col: str,
         n_tok > 0, F.floor((F.col("__cum_end") - 1) / L)
     ).otherwise(F.floor(F.col("start_offset") / L))
     return (
-        assigned.select(group_col, order_col, n_tok_col, start, "__cum_end")
+        assigned.select(
+            group_col, order_col, n_tok_col, start, "__cum_end", *carry_cols
+        )
         .select(
             group_col,
             order_col,
@@ -92,6 +97,7 @@ def _finalize(assigned: DataFrame, group_col: str, order_col: str,
                 "offset_in_seq"
             ),
             end_seq.cast("long").alias("end_seq_id"),
+            *carry_cols,
         )
         .withColumn(
             "n_seqs_spanned",
@@ -107,6 +113,7 @@ def pack_sequences(
     n_tok_col: str,
     context_len: int = 2048,
     check_order_unique: bool = False,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Materialize the packing ASSIGNMENT (not just its accounting): which
     context window each document's tokens land in under per-group
@@ -135,8 +142,11 @@ def pack_sequences(
         F.col(group_col),
         F.col(order_col),
         n_tok.alias(n_tok_col),
+        *carry_cols,
     ).withColumn("__cum_end", F.sum(n_tok_col).over(w))
-    return _finalize(base, group_col, order_col, n_tok_col, context_len)
+    return _finalize(
+        base, group_col, order_col, n_tok_col, context_len, carry_cols
+    )
 
 
 def pack_sequences_skew_safe(
@@ -147,6 +157,7 @@ def pack_sequences_skew_safe(
     context_len: int = 2048,
     num_partitions: int | None = None,
     check_order_unique: bool = False,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Two-phase distributed prefix sum: identical output to
     :func:`pack_sequences` (asserted in tests), with NO single-task-per-
@@ -177,6 +188,7 @@ def pack_sequences_skew_safe(
         F.col(group_col),
         F.col(order_col),
         F.col(n_tok_col).cast("long").alias(n_tok_col),
+        *carry_cols,
     )
     ranged = base.repartitionByRange(
         n_parts, F.col(group_col), F.col(order_col)
@@ -239,7 +251,96 @@ def pack_sequences_skew_safe(
             ).cast("long"),
         )
     )
-    return _finalize(assigned, group_col, order_col, n_tok_col, context_len)
+    return _finalize(
+        assigned, group_col, order_col, n_tok_col, context_len, carry_cols
+    )
+
+
+def pack_windows(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    context_len: int = 2048,
+    skew_safe: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize the ACTUAL packed training windows — not just the
+    assignment: ``(group, seq_id, n_docs, n_tokens, tokens)`` where
+    ``tokens`` is the window's exact ``context_len``-token slice of the
+    group's concatenated stream (the final window per group may be
+    shorter). This is the tensor a training loader consumes.
+
+    Plan shape: the token arrays RIDE THROUGH the assignment's single
+    range shuffle (``carry_cols`` — no corpus-sized re-join), each doc is
+    sliced map-side into its per-window chunks (``n_seqs_spanned`` is
+    tiny for real docs), and one groupBy per ``(group, seq_id)``
+    reassembles chunks with ``array_sort`` on the in-window offset +
+    ``flatten``. Per-window state is bounded by ``context_len`` tokens,
+    so the shuffle and the aggregation are both window-sized regardless
+    of document or group skew. Invariants (tested): every non-final
+    window holds exactly ``context_len`` tokens, and flattening the
+    windows in order reproduces the group's original token stream."""
+    L = F.lit(context_len).cast("long")
+    n_tok_col = "__pw_n_tok"
+    base = df.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(tokens_col).alias("__pw_toks"),
+        F.coalesce(F.size(tokens_col), F.lit(0))
+        .cast("long")
+        .alias(n_tok_col),
+    )
+    assign = pack_sequences_skew_safe if skew_safe else pack_sequences
+    kwargs = {"num_partitions": num_partitions} if skew_safe else {}
+    assigned = assign(
+        base, group_col, order_col, n_tok_col, context_len,
+        carry_cols=("__pw_toks",), **kwargs,
+    )
+    start = F.col("start_offset")
+    # one struct per window the doc touches: (seq_id, slice of the doc's
+    # tokens that lands in it); slice bounds are intersections of
+    # [start, start+n) with [w*L, (w+1)*L)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.col("seq_id"), F.col("end_seq_id")),
+            lambda w: F.struct(
+                w.alias("seq_id"),
+                F.slice(
+                    F.col("__pw_toks"),
+                    (F.greatest(w * L, start) - start + 1).cast("int"),
+                    (
+                        F.least((w + 1) * L, start + F.col(n_tok_col))
+                        - F.greatest(w * L, start)
+                    ).cast("int"),
+                ).alias("chunk"),
+            ),
+        )
+    )
+    chunks = assigned.filter(F.col(n_tok_col) > 0).select(
+        F.col(group_col),
+        start.alias("__start"),
+        chunk.alias("__c"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__start"), F.col("__c.chunk")))
+    )
+    return (
+        chunks.groupBy(group_col, F.col("__c.seq_id").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.flatten(
+                F.transform(ordered, lambda s: s.getField("chunk"))
+            ).alias("tokens"),
+        )
+        .select(
+            group_col,
+            "seq_id",
+            "n_docs",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
 
 
 def pack_sequence_sums(

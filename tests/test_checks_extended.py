@@ -512,6 +512,47 @@ def test_pack_sequences_skew_safe_null_and_zero_tokens(spark):
     )
 
 
+def test_pack_windows_materializes_exact_stream(spark):
+    """pack_windows produces the REAL packed tensors: every non-final
+    window exactly L tokens, and flattening windows in order reproduces
+    each group's concatenated token stream; skew-safe and declarative
+    agree."""
+    import random
+
+    from data_linter_spark.functions.packing import pack_windows
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(40):
+            toks = [rng.randrange(50257) for _ in range(rng.randrange(0, 23))]
+            rows.append((g, f"d{i:03d}", toks))
+    df = spark.createDataFrame(
+        rows, "src string, doc_id string, tokens array<int>"
+    ).repartition(6)
+
+    for skew_safe in (True, False):
+        got = pack_windows(
+            df, "src", "doc_id", "tokens", context_len=16,
+            skew_safe=skew_safe,
+        ).collect()
+        by_group: dict = {}
+        for r in got:
+            by_group.setdefault(r["src"], []).append(r)
+        for g in ("a", "b"):
+            stream = []
+            for src, _doc, toks in sorted(rows):
+                if src == g:
+                    stream.extend(toks)
+            ws = sorted(by_group[g], key=lambda r: r["seq_id"])
+            # seq ids are dense from 0
+            assert [w["seq_id"] for w in ws] == list(range(len(ws)))
+            for w in ws[:-1]:
+                assert w["n_tokens"] == 16, (g, w["seq_id"])
+            rebuilt = [t for w in ws for t in w["tokens"]]
+            assert rebuilt == stream, (skew_safe, g)
+
+
 def test_pack_sequences_check_order_unique_raises(spark):
     from data_linter_spark.functions.packing import pack_sequences
 
