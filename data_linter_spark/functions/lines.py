@@ -1,0 +1,139 @@
+"""Corpus-level duplicated-line removal (the C4 / CCNet cleaning step).
+
+Web text carries boilerplate — nav bars, cookie banners, license footers —
+that repeats VERBATIM across many pages. Document-level dedup never sees
+it (the surrounding documents differ); the standard fix (C4, Raffel et
+al. 2020; CCNet, Wenzek et al. 2020) is line-level: hash every line,
+count how many distinct documents each line appears in, and delete lines
+over a threshold from EVERY document, preserving the surviving lines'
+original order.
+
+Plan shape at 10^12 docs:
+- explode lines map-side (``posexplode(split(text, delim))``), key each
+  line by a folded md5 (the engine's pinned cross-engine hash) — never
+  by the line text, so shuffle rows stay fixed-width;
+- one partially-aggregated ``groupBy(line_key)`` counts distinct docs
+  (hot boilerplate lines combine map-side, so a line in 30% of all docs
+  contributes one row per input partition, not one per occurrence);
+- the dup-line relation (one row PER DISTINCT dup line) joins back
+  against the exploded lines with the same measured broadcast-or-shuffle
+  guard as ``apply_dedup``: boilerplate vocabularies are usually small
+  (broadcast), but a pathological corpus can make the relation huge, and
+  a pinned broadcast would OOM — above the threshold it degrades to a
+  shuffle anti-join, where AQE's skew-join splitting handles the hot
+  line keys;
+- per-doc reassembly is a ``groupBy(id)`` whose state is bounded by a
+  single document's size.
+
+Reference parity: gap-filler — the reference
+(moj-analytical-services/data_linter) validates tabular files and has no
+text-cleaning surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.dedup import hex8_to_long
+
+
+def line_key(line_col):
+    """Cross-engine line id: md5 of the exact line, folded to a long.
+    DuckDB counterpart: ``sql_hex8_to_long("md5(line)")``."""
+    return hex8_to_long(F.md5(line_col.cast("binary")))
+
+
+def dup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_docs: int = 2,
+    keep_blank: bool = False,
+) -> DataFrame:
+    """The distinct lines appearing in >= ``min_docs`` DISTINCT documents:
+    ``(line_key, n_docs)``. Blank lines are ignored unless ``keep_blank``
+    (they are structure, not boilerplate)."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), delim)).alias("__line"),
+    )
+    if not keep_blank:
+        lines = lines.filter(F.col("__line") != "")
+    return (
+        lines.select("__id", line_key(F.col("__line")).alias("line_key"))
+        .groupBy("line_key")
+        .agg(F.count_distinct("__id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_docs: int = 2,
+    max_broadcast_lines: Optional[int] = 20_000_000,
+) -> DataFrame:
+    """Remove corpus-duplicated lines from every document.
+
+    Returns one row per input document:
+    ``(id_col, text_col, n_lines, n_lines_removed)`` where ``text_col``
+    is the cleaned text (surviving lines rejoined with ``delim`` in
+    original order; empty string when everything was boilerplate).
+    Blank lines are preserved verbatim (never counted, never removed),
+    so document structure survives cleaning.
+
+    ``max_broadcast_lines`` is the measured guard on the dup-line
+    relation: probe with a capped count, broadcast below, shuffle
+    anti-join above (see module docstring).
+    """
+    dups = dup_lines(df, id_col, text_col, delim, min_docs).select("line_key")
+    use_broadcast = True
+    if max_broadcast_lines is not None:
+        n = dups.limit(max_broadcast_lines + 1).count()
+        use_broadcast = n <= max_broadcast_lines
+    right = F.broadcast(dups) if use_broadcast else dups
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+    )
+    nonblank = exploded.filter(F.col("__line") != "").withColumn(
+        "line_key", line_key(F.col("__line"))
+    )
+    kept_nonblank = nonblank.join(right, on="line_key", how="left_anti").drop(
+        "line_key"
+    )
+    kept = kept_nonblank.unionByName(
+        exploded.filter(F.col("__line") == "")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s.getField("__line"),
+            ),
+            delim,
+        ).alias("__text"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), delim)).cast("long")
+    return (
+        df.select(F.col(id_col), n_lines.alias("n_lines"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Deterministic dataset splitting — the train/valid/test assignment step
+of a training-data pipeline.
+
+A split must be a pure function of the document id (never of row order,
+partitioning, or sampling state): re-running the pipeline on a grown
+corpus must keep every previously-assigned document in the same split, or
+held-out data silently leaks into training. The assignment here is
+``md5(id || salt)`` folded to a long (the engine's pinned cross-engine
+hex fold, :func:`data_linter_spark.functions.dedup.hex8_to_long`) taken
+modulo ``n_buckets``, with each split owning a contiguous bucket range.
+The identical expression runs in DuckDB (see ``sql_split_expr``), so the
+assignment is oracle-checkable bit-for-bit.
+
+Scale shape: one map-side expression per row — no shuffle, no state, no
+driver participation. Changing ``salt`` re-deals the corpus; changing
+weights only moves documents across the boundary buckets.
+
+Reference parity note: the reference validates files it is handed
+(data_linter/validators/base.py); splitting is a gap-filler operator the
+reference lacks, added for the LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.dedup import hex8_to_long, sql_hex8_to_long
+
+DEFAULT_WEIGHTS: dict[str, int] = {"train": 98, "valid": 1, "test": 1}
+
+
+def _ranges(weights: dict[str, int]) -> list[tuple[str, int, int]]:
+    """(name, lo_bucket_incl, hi_bucket_excl) per split, in dict order."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("split weights must be positive integers")
+    lo = 0
+    out = []
+    for name, w in weights.items():
+        out.append((name, lo, lo + int(w)))
+        lo += int(w)
+    return out
+
+
+def split_bucket(id_col: Column, salt: str = "", n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the id string + salt."""
+    key = F.concat(id_col.cast("string"), F.lit(salt))
+    return hex8_to_long(F.md5(key.cast("binary"))) % F.lit(int(n_buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split.
+
+    ``weights`` are integer bucket counts summing to the bucket space
+    (e.g. ``{"train": 98, "valid": 1, "test": 1}`` over 100 buckets).
+    Purely map-side; safe to apply before or after any other operator.
+    """
+    weights = dict(weights or DEFAULT_WEIGHTS)
+    n_buckets = sum(weights.values())
+    b = split_bucket(F.col(id_col), salt, n_buckets)
+    expr = None
+    for name, lo, hi in _ranges(weights):
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(split_col, expr)
+
+
+def split_summary(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per (split, group) accounting with a membership checksum.
+
+    ``id_checksum`` is the sum of each member's folded md5 long — it pins
+    the exact SET of ids in every cell, so two engines agreeing on the
+    summary agree on every single assignment. One map-side projection +
+    one partial-aggregated groupBy; no joins.
+    """
+    weights = dict(weights or DEFAULT_WEIGHTS)
+    n_buckets = sum(weights.values())
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    fold = hex8_to_long(F.md5(key.cast("binary")))
+    assigned = assign_split(df, id_col, weights, salt).select(
+        "split", F.col(group_col), fold.alias("__fold")
+    )
+    return (
+        assigned.groupBy("split", group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__fold").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split", group_col)
+    )
+
+
+def sql_split_expr(
+    id_sql: str, weights: dict[str, int] | None = None, salt: str = ""
+) -> str:
+    """DuckDB expression computing the identical split assignment."""
+    weights = dict(weights or DEFAULT_WEIGHTS)
+    n_buckets = sum(weights.values())
+    salt_sql = salt.replace("'", "''")
+    key = f"CAST({id_sql} AS VARCHAR) || '{salt_sql}'"
+    bucket = f"({sql_hex8_to_long(f'md5({key})')} % {n_buckets})"
+    arms = " ".join(
+        f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'"
+        for name, lo, hi in _ranges(weights)
+    )
+    return f"CASE {arms} END"

@@ -382,6 +382,36 @@ GROUP BY 1
 """
 
 
+def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric events-value histogram + token-id histogram in one long-
+    format entry ``(hist, bucket, cnt)`` — merged (r4) so both histogram
+    operators stay driver-checked within the 50-query cap."""
+    from data_linter_spark.checks.drift import (
+        numeric_histogram_df,
+        token_histogram_df,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    toks = tokens_from_documents(spark, sf_dir)
+    ev = numeric_histogram_df(events, "value", HIST_LO, HIST_HI, HIST_BINS)
+    tk = token_histogram_df(toks, "tokens", 50257, TOKEN_HIST_BINS)
+    return (
+        ev.withColumn("hist", F.lit("events_value"))
+        .unionByName(tk.withColumn("hist", F.lit("tokens")))
+        .select("hist", "bucket", "cnt")
+        .orderBy("hist", "bucket")
+    )
+
+
+def _sql_histograms() -> str:
+    return f"""
+SELECT 'events_value' AS hist, * FROM ({SQL_HIST_EVENTS_VALUE})
+UNION ALL
+SELECT 'tokens' AS hist, * FROM ({{TOKEN_HIST}})
+ORDER BY hist, bucket
+""".replace("{TOKEN_HIST}", SQL_TOKEN_HISTOGRAM)
+
+
 def q_psi_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI + KS between even/odd event_id halves, on the shared fixed bins.
     ONE scan: both halves' bin counts come out of a single groupBy(bucket)
@@ -875,12 +905,29 @@ SESSION_GAP_S = 1800
 
 
 def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K users by event count JOINED with each one's latest event —
+    merged (r4) from the ``top_users`` + ``latest_events_per_user`` pair
+    so both operators (two-stage top-k profiling, max_by latest-per-key
+    dedup) stay driver-checked within the 50-query cap. The k-row top-k
+    side broadcasts into the latest-per-key join."""
     from data_linter_spark.checks.profile import top_values
+    from data_linter_spark.functions.sessions import latest_per_key
 
-    return top_values(_read(spark, sf_dir, "events"), "user_id", TOPV_K)
+    ev = _read(spark, sf_dir, "events")
+    top = top_values(ev, "user_id", TOPV_K)
+    latest = latest_per_key(ev, "user_id", "ts", "event_id").select(
+        F.col("user_id").cast("string").alias("value"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+    return (
+        latest.join(F.broadcast(top), on="value")
+        .select("value", "cnt", "rk", "last_event_id", "last_event_type")
+        .orderBy("rk")
+    )
 
 
-SQL_TOP_USERS = f"""
+SQL_TOP_USERS_BASE = f"""
 WITH c AS (
   SELECT CAST(user_id AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS cnt
   FROM events WHERE user_id IS NOT NULL GROUP BY 1
@@ -891,6 +938,23 @@ r AS (
   FROM c
 )
 SELECT value, cnt, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= {TOPV_K}
+"""
+
+
+SQL_TOP_USERS = f"""
+WITH latest AS (
+  SELECT CAST(user_id AS VARCHAR) AS value, event_id AS last_event_id,
+         event_type AS last_event_type
+  FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT t.value, t.cnt, t.rk, latest.last_event_id, latest.last_event_type
+FROM ({SQL_TOP_USERS_BASE}) t JOIN latest USING (value)
+ORDER BY t.rk
 """
 
 
@@ -1295,15 +1359,29 @@ ANN_N_QUERIES = 5
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.functions.similarity import cosine_topk
+    """Brute-force AND hyperplane-LSH top-k in one registry entry, tagged
+    by ``method`` — merged (r4) so both ANN paths stay driver-checked
+    within the 50-query correctness cap. The brute arm is the
+    verification baseline; the LSH arm is the scale path."""
+    from data_linter_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return cosine_topk(
+    brute = cosine_topk(
         queries, emb, "q_emb", "embedding", "query_id", "vec_id", k=ANN_K
     )
+    lsh = cosine_topk_lsh(
+        queries, emb, "q_emb", "embedding", "query_id", "vec_id",
+        dim=ANN_LSH_DIM, k=ANN_K, n_planes=ANN_LSH_PLANES,
+    )
+    return brute.withColumn("method", F.lit("brute")).unionByName(
+        lsh.withColumn("method", F.lit("lsh"))
+    ).select("method", "query_id", "neighbor_id", "rk", "sim")
 
 
 SQL_ANN_COSINE_TOPK = f"""
@@ -1326,6 +1404,16 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk,
        ROUND(sim, 6) AS sim
 FROM ranked WHERE rk <= {ANN_K}
+"""
+
+
+def _sql_ann_combined() -> str:
+    """Brute + LSH arms unioned with a method tag (matches the merged
+    q_ann_cosine_topk)."""
+    return f"""
+SELECT 'brute' AS method, * FROM ({SQL_ANN_COSINE_TOPK})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_sql_ann_lsh()})
 """
 
 
@@ -1578,6 +1666,210 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 2j. training-pipeline steps: line-level boilerplate removal, deterministic
+#     dataset splits, materialized packed windows
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 12  # registered pseudo-line width (testdata text has no \n)
+LINE_MIN_DOCS = 3
+
+
+def _pseudo_lines(text_col):
+    """Rechunk whitespace text into LINE_WORDS-word lines joined by \\n.
+
+    The driver's documents table is single-line prose; real corpora carry
+    newlines. This deterministic rechunk gives the line-dedup operator a
+    line structure BOTH engines can derive from the same parquet, so the
+    oracle pins the full explode->count->anti-join->reassemble pipeline."""
+    words = F.split(text_col, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(LINE_WORDS)).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * LINE_WORDS + 1, LINE_WORDS), " "
+            ),
+        ),
+        "\n",
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-duplicated-line removal, summarized per source with
+    a cleaned-text checksum (pins the exact surviving text of every doc)."""
+    from data_linter_spark.functions.dedup import hex8_to_long
+    from data_linter_spark.functions.lines import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", _pseudo_lines(F.col("text")).alias("text")
+    )
+    cleaned = dedup_lines(
+        docs, "doc_id", "text", delim="\n", min_docs=LINE_MIN_DOCS
+    )
+    joined = cleaned.join(docs.select("doc_id", "source"), on="doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("lines_before"),
+            F.sum("n_lines_removed").cast("long").alias("lines_removed"),
+            F.sum(F.length("text")).cast("long").alias("chars_after"),
+            F.sum(hex8_to_long(F.md5(F.col("text").cast("binary"))))
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_line_dedup() -> str:
+    from data_linter_spark.functions.dedup import sql_hex8_to_long
+
+    lw = LINE_WORDS
+    fold = sql_hex8_to_long("md5(line)")
+    return f"""
+WITH chunked AS (
+  SELECT doc_id, source,
+         list_transform(
+           range(0, CAST(ceil(len(string_split(text, ' ')) / {lw}.0) AS INTEGER)),
+           i -> array_to_string(
+                  string_split(text, ' ')[i * {lw} + 1 :
+                    least((i + 1) * {lw},
+                          len(string_split(text, ' ')))], ' ')
+         ) AS lines
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, source,
+         generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
+  FROM chunked
+),
+dups AS (
+  SELECT {fold} AS line_key
+  FROM exploded WHERE line <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+),
+kept AS (
+  SELECT e.doc_id, e.source, e.pos, e.line
+  FROM exploded e
+  WHERE e.line = '' OR {sql_hex8_to_long("md5(e.line)")} NOT IN
+        (SELECT line_key FROM dups)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+),
+per_doc AS (
+  SELECT c.doc_id, c.source,
+         CAST(len(c.lines) AS BIGINT) AS n_lines,
+         COALESCE(r.text, '') AS text,
+         CAST(len(c.lines) AS BIGINT) - COALESCE(r.n_kept, 0)
+             AS n_lines_removed
+  FROM chunked c LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS lines_before,
+       CAST(SUM(n_lines_removed) AS BIGINT) AS lines_removed,
+       CAST(SUM(len(text)) AS BIGINT) AS chars_after,
+       CAST(SUM({sql_hex8_to_long("md5(text)")}) AS BIGINT) AS text_checksum
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+SPLIT_WEIGHTS = {"train": 98, "valid": 1, "test": 1}
+SPLIT_SALT = "r4"
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/valid/test assignment over documents,
+    summarized per (split, source) with a membership checksum — the
+    id_checksum pins every single document's assignment."""
+    from data_linter_spark.functions.splits import split_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_summary(docs, "doc_id", "source", SPLIT_WEIGHTS, SPLIT_SALT)
+
+
+def _sql_dataset_split() -> str:
+    from data_linter_spark.functions.dedup import sql_hex8_to_long
+    from data_linter_spark.functions.splits import sql_split_expr
+
+    split = sql_split_expr("doc_id", SPLIT_WEIGHTS, SPLIT_SALT)
+    fold = sql_hex8_to_long(
+        f"md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}')"
+    )
+    return f"""
+WITH a AS (
+  SELECT {split} AS split, source, {fold} AS fold FROM documents
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(fold) AS BIGINT) AS id_checksum
+FROM a GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training windows, pinned by content checksums:
+    ``tok_sum`` fixes each window's token multiset, ``tok_pos_sum`` fixes
+    the ORDER of tokens within the window (position-weighted), so the
+    oracle agreeing here means the actual tensors are byte-identical."""
+    from data_linter_spark.functions.packing import pack_windows
+
+    toks = tokens_from_documents(spark, sf_dir)
+    pw = pack_windows(
+        toks, "source", "doc_id", "tokens", PACK_CONTEXT_LEN
+    )
+    return pw.select(
+        "source",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(tokens, 0L, (a, x) -> a + cast(x as bigint))"
+        ).alias("tok_sum"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x)"
+        ).alias("tok_pos_sum"),
+    ).orderBy("source", "seq_id")
+
+
+SQL_PACK_WINDOWS = f"""
+WITH {{TOKENS_CTE}},
+c AS (
+  SELECT source, doc_id, tokens,
+         SUM(CAST(n_tok AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tok AS start_offset
+  FROM tokens_tbl
+),
+flat AS (
+  SELECT source, doc_id,
+         start_offset + generate_subscripts(tokens, 1) - 1 AS gpos,
+         unnest(tokens) AS tok
+  FROM c
+)
+SELECT source,
+       CAST(gpos // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) AS BIGINT) AS tok_sum,
+       CAST(SUM(CAST(tok AS BIGINT) * ((gpos % {PACK_CONTEXT_LEN}) + 1))
+            AS BIGINT) AS tok_pos_sum
+FROM flat
+GROUP BY 1, 2
+ORDER BY 1, 2
+""".replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1591,7 +1883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **DEDUP_QUERIES,
         **IO_QUERIES,
         **MEDIA_QUERIES,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "suite_lineitem": q_suite_lineitem,
         "suite_tokens": q_suite_tokens,
@@ -1601,11 +1892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_checks": q_unique_checks,
         "ref_events_users": q_ref_events_users,
         "ref_violation_rows": q_ref_violation_rows,
-        "hist_events_value": q_hist_events_value,
+        "histograms": q_histograms,
         "psi_events_split": q_psi_events_split,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "token_histogram": q_token_histogram,
         "events_hourly_verdicts": q_events_hourly_verdicts,
         "packing_stats": q_packing_stats,
         "pack_sequences": q_pack_sequences,
@@ -1618,12 +1908,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "string_profile_events": q_string_profile_events,
         "outliers_events": q_outliers_events,
-        "latest_events_per_user": q_latest_events_per_user,
         "reconcile_events": q_reconcile_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "freshness_by_type": q_freshness_by_type,
         "fd_documents_source_lang": q_fd_documents_source_lang,
         "benford_values": q_benford_values,
+        "line_dedup": q_line_dedup,
+        "dataset_split": q_dataset_split,
+        "pack_windows": q_pack_windows,
     }
 
 
@@ -1636,7 +1928,6 @@ def oracle_sql() -> dict[str, str]:
         **DEDUP_ORACLES,
         **IO_ORACLES,
         **MEDIA_ORACLES,
-        "ann_cosine_topk_lsh": _sql_ann_lsh(),
         "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK_IVF,
         "suite_lineitem": SQL_SUITE_LINEITEM,
         "suite_tokens": SQL_SUITE_TOKENS,
@@ -1652,7 +1943,6 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": SQL_SESSION_STATS,
         "string_profile_events": _sql_string_profile(),
         "outliers_events": _sql_outliers(),
-        "latest_events_per_user": SQL_LATEST_EVENTS_PER_USER,
         "reconcile_events": SQL_RECONCILE_EVENTS,
         "volume_anomaly_events": SQL_VOLUME_ANOMALY_EVENTS,
         "freshness_by_type": SQL_FRESHNESS_BY_TYPE,
@@ -1663,10 +1953,12 @@ def oracle_sql() -> dict[str, str]:
         "unique_checks": SQL_UNIQUE_CHECKS,
         "ref_events_users": SQL_REF_EVENTS_USERS,
         "ref_violation_rows": SQL_REF_VIOLATION_ROWS,
-        "hist_events_value": SQL_HIST_EVENTS_VALUE,
+        "histograms": _sql_histograms(),
         "psi_events_split": SQL_PSI_EVENTS_SPLIT,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
-        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-        "token_histogram": SQL_TOKEN_HISTOGRAM,
+        "ann_cosine_topk": _sql_ann_combined(),
         "events_hourly_verdicts": SQL_EVENTS_HOURLY_VERDICTS,
+        "line_dedup": _sql_line_dedup(),
+        "dataset_split": _sql_dataset_split(),
+        "pack_windows": SQL_PACK_WINDOWS,
     }

@@ -1,0 +1,154 @@
+"""Training-pipeline step operators: corpus line dedup, deterministic
+dataset splits."""
+
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.lines import dedup_lines, dup_lines
+from data_linter_spark.functions.splits import (
+    assign_split,
+    split_bucket,
+    split_summary,
+)
+
+BOILER = "all rights reserved"
+COOKIE = "we use cookies"
+
+
+def _corpus(spark):
+    rows = [
+        (1, f"unique opening one\n{BOILER}\nbody text one\n{COOKIE}"),
+        (2, f"{BOILER}\nsecond doc body\n\n{COOKIE}"),
+        (3, f"third doc only\n{BOILER}"),
+        (4, f"{BOILER}\n{BOILER}"),  # nothing but boilerplate
+        (5, "repeat me\nrepeat me\nsolo doc line"),  # intra-doc dup only
+        (6, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dup_lines_counts_distinct_docs(spark):
+    d = dup_lines(_corpus(spark), "doc_id", "text", min_docs=2).collect()
+    # BOILER in docs 1-4, COOKIE in docs 1-2; "repeat me" twice but in ONE
+    # doc (not corpus-duplicated); blank lines never counted
+    counts = sorted(r["n_docs"] for r in d)
+    assert counts == [2, 4]
+
+
+def test_dedup_lines_removes_and_preserves_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_corpus(spark), "doc_id", "text").collect()
+    }
+    assert out[1]["text"] == "unique opening one\nbody text one"
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 2
+    # blank line survives in place
+    assert out[2]["text"] == "second doc body\n"
+    assert out[2]["n_lines_removed"] == 2
+    assert out[3]["text"] == "third doc only"
+    # fully-boilerplate doc comes back empty, still present
+    assert out[4]["text"] == "" and out[4]["n_lines_removed"] == 2
+    # intra-doc repetition alone is NOT corpus boilerplate (C4 semantics)
+    assert out[5]["text"] == "repeat me\nrepeat me\nsolo doc line"
+    assert out[5]["n_lines_removed"] == 0
+    # empty doc: one blank line, kept
+    assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 0
+    assert out[6]["n_lines"] == 1
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            _corpus(spark), "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    # COOKIE (2 docs) now survives, BOILER (4 docs) still removed
+    assert COOKIE in out[1]["text"] and BOILER not in out[1]["text"]
+
+
+def test_dedup_lines_shuffle_fallback_matches_broadcast(spark):
+    """The measured guard's shuffle arm is value-identical to the
+    broadcast arm (max_broadcast_lines=0 forces the fallback)."""
+    a = sorted(
+        map(tuple, dedup_lines(_corpus(spark), "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup_lines(
+                _corpus(spark), "doc_id", "text", max_broadcast_lines=0
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_assign_split_deterministic_and_subset_stable(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 8, "valid": 1, "test": 1}
+    full = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, "doc_id", w).collect()
+    }
+    assert set(full.values()) == {"train", "valid", "test"}
+    # proportions roughly follow the weights
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.7 < n_train / 2000 < 0.9
+    # growing the corpus never reassigns existing docs
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            df.filter(F.col("doc_id") < 500), "doc_id", w
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # salt re-deals
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, "doc_id", w, salt="s1").collect()
+    }
+    assert any(full[k] != v for k, v in salted.items())
+
+
+def test_split_bucket_matches_duckdb(spark):
+    """The Spark bucket expression and the SQL oracle expression agree
+    value-for-value (the cross-engine contract the summary rests on)."""
+    import duckdb
+
+    from data_linter_spark.functions.splits import sql_split_expr
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, "doc_id", salt="x").collect()
+    }
+    expr = sql_split_expr("doc_id", salt="x")
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS split FROM range(0, 300) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_summary_checksum_pins_membership(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id int, source string"
+    )
+    rows = split_summary(df, "doc_id", "source").collect()
+    assert sum(r["n_rows"] for r in rows) == 3
+    # checksum equals the sum of each member's bucket-fold value
+    folded = df.select(
+        "doc_id",
+        "source",
+        split_bucket(F.col("doc_id"), n_buckets=1 << 62).alias("f"),
+    ).collect()
+    by_cell = {}
+    assigned = {
+        r["doc_id"]: r["split"] for r in assign_split(df, "doc_id").collect()
+    }
+    for r in folded:
+        key = (assigned[r["doc_id"]], r["source"])
+        by_cell[key] = by_cell.get(key, 0) + r["f"]
+    got = {(r["split"], r["source"]): r["id_checksum"] for r in rows}
+    assert got == by_cell

@@ -56,12 +56,13 @@ CHECKS = {
         ),
     },
     "ann_cosine_topk": {
+        # brute arm broadcasts the k queries; LSH arm is a bucket
+        # equi-join — NO unbounded cartesian anywhere (the brute
+        # crossJoin is broadcast-nested-loop over a k-row side by
+        # construction, the verification baseline)
         "broadcast_queries": lambda p: "Broadcast" in p,
-    },
-    "ann_cosine_topk_lsh": {
-        # bucket equi-join, NOT a cartesian product
-        "no_cartesian": lambda p: "CartesianProduct" not in p
-        and "BroadcastNestedLoopJoin" not in p,
+        "lsh_equi_join": lambda p: "BroadcastHashJoin" in p
+        or "SortMergeJoin" in p,
     },
     "ann_cosine_topk_ivf": {
         "no_cartesian": lambda p: "CartesianProduct" not in p
@@ -83,9 +84,9 @@ CHECKS = {
         "partial_agg": lambda p: "partial_count" in p or "HashAggregate" in p,
         "prunes_to_key": lambda p: "l_quantity" not in p,
     },
-    "hist_events_value": {
+    "histograms": {
         "pushed_notnull": lambda p: "IsNotNull" in p,
-        "prunes_to_value": lambda p: "event_type" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
     },
     "contamination": {
         # the small benchmark side is broadcast; corpus never shuffles
@@ -103,8 +104,9 @@ CHECKS = {
         and "BroadcastNestedLoopJoin" not in p,
         "arrow_vectorized": lambda p: "ArrowEvalPython" in p,
     },
-    "latest_events_per_user": {
-        "single_scan": lambda p: n_scans(p) == 1,
+    "top_users": {
+        # k-row top-k side broadcasts into the latest-per-key join
+        "broadcast_topk": lambda p: "BroadcastHashJoin" in p,
         "prunes_props": lambda p: "props" not in p,
     },
     "reconcile_events": {
@@ -138,6 +140,29 @@ CHECKS = {
     "pii_screen_by_source": {
         "single_scan": lambda p: n_scans(p) == 1,
         "codegen": lambda p: "codegen id" in p,
+    },
+    "line_dedup": {
+        # dup-line relation broadcasts below the measured guard; the
+        # exploded lines never shuffle into the anti-join
+        "broadcast_anti": lambda p: "BroadcastHashJoin" in p
+        and "LeftAnti" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+        "prunes_lang": lambda p: "lang" not in p,
+    },
+    "dataset_split": {
+        # pure map-side assignment + one partially-aggregated groupBy:
+        # no joins at all
+        "no_join": lambda p: "Join" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "prunes_text": lambda p: '"text"' not in p,
+    },
+    "pack_windows": {
+        # token arrays ride the assignment's single range exchange
+        # (carry_cols) — no corpus re-join to fetch them back
+        "range_exchange": lambda p: "rangepartitioning" in p.lower(),
+        "arrow_local_cumsum": lambda p: "MapInPandas" in p,
+        "no_corpus_rejoin": lambda p: "SortMergeJoin" not in p,
+        "prunes_text": lambda p: "lang" not in p,
     },
     "dedup_apply": {
         # the drop set is broadcast; the corpus never shuffles into the
