@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_linter_spark.functions.parallel import ensure_min_parallelism
+
 
 def numeric_profile(
     df: DataFrame,
@@ -30,6 +32,8 @@ def numeric_profile(
     column, all metrics from a single aggregation pass. ``stddev`` is the
     sample standard deviation; ``median`` linearly interpolates (both match
     ANSI engines for the oracle)."""
+    df = ensure_min_parallelism(df)  # EXPAND for multi-distinct amplifies
+    # rows BEFORE partial agg; a single-file scan would run it one-threaded
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c).cast("double")
@@ -101,6 +105,7 @@ def string_profile(
     """Per-column string profile: ``(column, n_rows, n_nulls, completeness,
     n_distinct, n_empty, min_len, max_len, avg_len)`` — the string companion
     to :func:`numeric_profile`, same single-pass + explode shape."""
+    df = ensure_min_parallelism(df)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c).cast("string")

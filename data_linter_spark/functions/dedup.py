@@ -33,6 +33,10 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_linter_spark.functions.parallel import (  # noqa: F401 (re-export)
+    ensure_min_parallelism,
+)
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1; keeps a*x + b inside int64
 
 
@@ -104,25 +108,6 @@ def shingle_id(shingle: Column) -> Column:
 
 
 # -- shingling --------------------------------------------------------------
-
-
-def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Input-split guard for CPU-heavy per-row compute.
-
-    Scan parallelism is floored by file/row-group count: a corpus that
-    arrives as one small parquet file reads as ONE partition, and every
-    map-side expression downstream of it runs single-threaded no matter
-    how many cores the cluster has (measured: the sf0.1 contamination
-    shingle explode ran 6.4 s in one task, 0.4 s split). Round-robin
-    repartition ONLY when the scan has fewer partitions than the
-    session's parallelism — at production scale file count >> cores, the
-    guard is a no-op, and no shuffle is added. The explicit partition
-    count also keeps AQE from re-coalescing the exchange back down."""
-    sc = df.sparkSession.sparkContext
-    target = int(min_parts or sc.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def word_shingle_sets(

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_linter_spark.functions.dedup import hex8_to_long
+from data_linter_spark.functions.parallel import ensure_min_parallelism
 
 
 def line_key(line_col):
@@ -57,7 +58,7 @@ def dup_lines(
     """The distinct lines appearing in >= ``min_docs`` DISTINCT documents:
     ``(line_key, n_docs)``. Blank lines are ignored unless ``keep_blank``
     (they are structure, not boilerplate)."""
-    lines = df.select(
+    lines = ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.col(text_col), delim)).alias("__line"),
     )
@@ -99,7 +100,7 @@ def dedup_lines(
         use_broadcast = n <= max_broadcast_lines
     right = F.broadcast(dups) if use_broadcast else dups
 
-    exploded = df.select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_linter_spark.functions.parallel import ensure_min_parallelism
+
 # small multilingual stopword marker sets for the language-ID heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -171,6 +173,7 @@ def corpus_retention_flags(
     flags (retention accounting per source)."""
     from pyspark.sql import Window
 
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     w = Window.partitionBy(content_fingerprint_md5(c)).orderBy(F.col(id_col))
     return df.select(
@@ -229,7 +232,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
 
     # step 1: materialize words once (referenced 6x downstream)
-    with_words = df.select("*", _words(c).alias("__words"))
+    with_words = ensure_min_parallelism(df).select(
+        "*", _words(c).alias("__words")
+    )
     w = F.col("__words")
     n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(w))
 

@@ -1700,9 +1700,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_linter_spark.functions.dedup import hex8_to_long
     from data_linter_spark.functions.lines import dedup_lines
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source", _pseudo_lines(F.col("text")).alias("text")
-    )
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "source", _pseudo_lines(F.col("text")).alias("text"))
     cleaned = dedup_lines(
         docs, "doc_id", "text", delim="\n", min_docs=LINE_MIN_DOCS
     )

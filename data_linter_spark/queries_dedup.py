@@ -350,7 +350,9 @@ SQL_TEXT_QUALITY = _sql_text_quality()
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = dd.ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return docs.groupBy(tx.lang_id(F.col("text")).alias("lang_pred")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
