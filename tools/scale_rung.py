@@ -48,14 +48,24 @@ def materialize(n_rows: int, base: str) -> str:
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000_000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    base = os.environ.get("SPARK_GRAFT_RUNG_DIR", "/dev/shm/spark_graft_bench")
-    os.makedirs(base, exist_ok=True)
-    t0 = time.time()
-    path = materialize(n_rows, base)
-    mat_s = time.time() - t0
+    argv = [a for a in sys.argv[1:] if a != "--no-materialize"]
+    no_mat = "--no-materialize" in sys.argv[1:]
+    n_rows = int(argv[0]) if len(argv) > 0 else 500_000_000
+    cpus = int(argv[1]) if len(argv) > 1 else 32
+    trials = int(argv[2]) if len(argv) > 2 else 1
+    if no_mat:
+        # generate-on-the-fly: for row counts whose parquet exceeds the box
+        # (10^9 ~ 94 GB). Measures generation+validation; record is labeled
+        # by its synthetic: input_path.
+        path, mat_s = f"synthetic:{n_rows}", 0.0
+    else:
+        base = os.environ.get(
+            "SPARK_GRAFT_RUNG_DIR", "/dev/shm/spark_graft_bench"
+        )
+        os.makedirs(base, exist_ok=True)
+        t0 = time.time()
+        path = materialize(n_rows, base)
+        mat_s = time.time() - t0
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
          str(cpus), path, str(trials)],

@@ -53,7 +53,18 @@ def main() -> None:
         shuffle_partitions=max(cpus * 2, 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(path)
+    if path.startswith("synthetic:"):
+        # generate-on-the-fly variant for row counts whose materialized
+        # parquet exceeds the box (10^9 rows ~ 94 GB > RAM-backed tmpfs +
+        # heap). Each stage regenerates the input with executor-parallel
+        # arithmetic, so the measured quantity is generate+validate —
+        # records carry input_path="synthetic:N" so the label is honest.
+        from data_linter_spark.tokens import synthetic_tokens
+
+        n = int(path.split(":", 1)[1])
+        df = synthetic_tokens(spark, n, n_partitions=cpus * 8)
+    else:
+        df = spark.read.parquet(path)
     n_rows = df.count()
     plan = ConstraintPlan(df, Metadata(tokens_metadata(strict=True)))
     aggs = [*plan.agg_exprs(), *uniqueness_screen_exprs("doc_id")]
