@@ -58,6 +58,37 @@ def tokens_throughput(spark, n_rows: int) -> tuple[float, float]:
     return dt, n_rows / dt
 
 
+def tokens_throughput_fast_path(spark, n_rows: int) -> tuple[float, float]:
+    """The SAME suite via the engine's footer-stats fast path
+    (checks/stats_screen.py): prove what column-chunk statistics can prove,
+    scan only the undecided (column, test) pairs. Measured separately so
+    ``tokens_suite_synthetic`` stays round-over-round comparable while this
+    row records what the engine actually ships for clean curated tables."""
+    from data_linter_spark.checks.stats_screen import (
+        parquet_stats_screen,
+        prune_proven,
+    )
+    from data_linter_spark.checks.unique import uniqueness_screen_exprs
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.tokens import tokens_metadata
+
+    path = f"/tmp/spark_graft_bench/tokens_{n_rows}.parquet"
+    meta = Metadata(tokens_metadata(strict=True))
+
+    def run() -> None:
+        screen = parquet_stats_screen(path, meta)
+        df = spark.read.parquet(path)
+        plan = ConstraintPlan(df, meta)
+        prune_proven(plan, screen)
+        aggs = [*plan.agg_exprs(), *uniqueness_screen_exprs("doc_id")]
+        df.agg(*aggs).collect()
+
+    run()  # warmup
+    dt = min(_timed(run) for _ in range(3))
+    return dt, n_rows / dt
+
+
 def _timed(thunk) -> float:
     t0 = time.perf_counter()
     thunk()
@@ -117,6 +148,8 @@ def main() -> None:
     n_tokens = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", 10_000_000))
     tok_sec, tok_rps = tokens_throughput(spark, n_tokens)
     per_query["tokens_suite_synthetic"] = round(tok_sec, 4)
+    fast_sec, fast_rps = tokens_throughput_fast_path(spark, n_tokens)
+    per_query["tokens_suite_stats_screen"] = round(fast_sec, 4)
 
     total = sum(per_query.values())
     print(
@@ -128,6 +161,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "tokens_rows_per_sec": round(tok_rps),
+                "tokens_fast_path_rows_per_sec": round(fast_rps),
                 "tokens_rows": n_tokens,
                 "cpus": int(cpus),
             }

@@ -343,6 +343,170 @@ def pack_windows(
     )
 
 
+def _window_checksum_expr(group_col: str) -> "F.Column":
+    """Order-insensitive per-group content checksum over packed windows:
+    sum of xxhash64(group, seq_id, tokens) as decimal(38,0) so a 10^9-window
+    group cannot overflow. Engine-internal (write and verify both run in
+    Spark), so the non-portable hash is fine — the cross-engine oracle for
+    packing correctness is the SQL on the ASSIGNMENT, not the sink."""
+    return F.sum(
+        F.xxhash64(F.col(group_col), F.col("seq_id"), F.col("tokens")).cast(
+            "decimal(38,0)"
+        )
+    )
+
+
+def write_packed_dataset(
+    windows: DataFrame,
+    path: str,
+    group_col: str = "source",
+    context_len: int = 2048,
+    windows_per_file: int = 8192,
+) -> dict:
+    """Persist packed training windows (:func:`pack_windows` output) as the
+    dataset a training loader mounts, and return its manifest.
+
+    Layout contract:
+
+    - hive-partitioned by ``group_col`` (``path/<group>=<v>/``) so a mix
+      recipe selects sources by directory listing — partition pruning, no
+      scan;
+    - ``repartitionByRange(group, seq_id)`` + ``sortWithinPartitions`` so
+      every parquet file holds a CONTIGUOUS seq_id run and the parquet
+      min/max footer stats on ``seq_id`` let a loader locate any window
+      range without reading data pages;
+    - ``maxRecordsPerFile`` bounds file size deterministically WITHOUT a
+      driver-side count job (the writer splits as it streams), so task
+      memory is bounded by ``windows_per_file × context_len`` tokens
+      regardless of group skew.
+
+    The manifest (``path/_packed_manifest.json``, written scheme-aware via
+    :class:`~data_linter_spark.fs.HadoopFS`) records per-group window
+    counts, token totals, the seq_id span, seq_id density, and an
+    order-insensitive content checksum. It is computed by READING BACK the
+    written files — one extra read-only scan instead of a second execution
+    of the whole upstream pack pipeline (strictly cheaper, and it audits
+    what was durably encoded, not what was intended). Write-time pack
+    correctness is owned by the assignment oracle and pack_windows
+    invariant tests; the manifest + :func:`verify_packed_dataset` guard the
+    SINK over its lifetime (lost/duplicated/corrupted files, seq holes)."""
+    import json as _json
+
+    from data_linter_spark.fs import HadoopFS
+
+    (
+        windows.repartitionByRange(F.col(group_col), F.col("seq_id"))
+        .sortWithinPartitions(group_col, "seq_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", int(windows_per_file))
+        .partitionBy(group_col)
+        .parquet(path)
+    )
+    stats = (
+        windows.sparkSession.read.parquet(path)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("seq_id").cast("long").alias("n_distinct_seq"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("seq_id").cast("long").alias("min_seq_id"),
+            F.max("seq_id").cast("long").alias("max_seq_id"),
+            _window_checksum_expr(group_col).alias("checksum"),
+        )
+        .collect()
+    )
+    dense = [
+        r
+        for r in stats
+        if r["min_seq_id"] != 0
+        or r["n_distinct_seq"] != r["n_windows"]
+        or r["max_seq_id"] != r["n_windows"] - 1
+    ]
+    if dense:
+        raise ValueError(
+            "write_packed_dataset: seq_ids not dense from 0 in groups "
+            + ", ".join(repr(r[group_col]) for r in dense)
+            + " — input is not a pack_windows output"
+        )
+    manifest = {
+        "format": "packed_windows/v1",
+        "context_len": int(context_len),
+        "group_col": group_col,
+        "windows_per_file": int(windows_per_file),
+        "groups": {
+            r[group_col]: {
+                "n_windows": r["n_windows"],
+                "n_tokens": r["n_tokens"],
+                "min_seq_id": r["min_seq_id"],
+                "max_seq_id": r["max_seq_id"],
+                "checksum": str(r["checksum"]),
+            }
+            for r in stats
+        },
+    }
+    HadoopFS(windows.sparkSession).write_text(
+        f"{path.rstrip('/')}/_packed_manifest.json",
+        _json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    return manifest
+
+
+def verify_packed_dataset(spark, path: str) -> dict:
+    """Integrity check of a written packed dataset against its manifest.
+    Raises ``ValueError`` naming every violated invariant; returns the
+    manifest on success. Invariants per group: window count, token total,
+    content checksum, and seq_id density (min 0, max n-1, all distinct —
+    checked via count_distinct in the SAME single aggregation pass).
+
+    One aggregation job over the sink — at 100 TB this is the cheap
+    read-side audit (map-side partial agg, one tiny shuffle of a row per
+    group), not a re-pack."""
+    import json as _json
+
+    from data_linter_spark.fs import HadoopFS
+
+    manifest = _json.loads(
+        HadoopFS(spark).read_text(f"{path.rstrip('/')}/_packed_manifest.json")
+    )
+    group_col = manifest["group_col"]
+    got = {
+        r[group_col]: r
+        for r in spark.read.parquet(path)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("seq_id").cast("long").alias("n_distinct_seq"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("seq_id").cast("long").alias("min_seq_id"),
+            F.max("seq_id").cast("long").alias("max_seq_id"),
+            _window_checksum_expr(group_col).alias("checksum"),
+        )
+        .collect()
+    }
+    errors: list[str] = []
+    for g, want in manifest["groups"].items():
+        r = got.pop(g, None)
+        if r is None:
+            errors.append(f"group {g!r}: missing from sink")
+            continue
+        for k in ("n_windows", "n_tokens", "min_seq_id", "max_seq_id"):
+            if r[k] != want[k]:
+                errors.append(f"group {g!r}: {k} {r[k]} != manifest {want[k]}")
+        if str(r["checksum"]) != want["checksum"]:
+            errors.append(f"group {g!r}: content checksum mismatch")
+        if r["min_seq_id"] != 0 or r["n_distinct_seq"] != r["n_windows"]:
+            errors.append(f"group {g!r}: seq_ids not dense from 0")
+        elif r["max_seq_id"] != r["n_windows"] - 1:
+            errors.append(f"group {g!r}: seq_id span has holes")
+    for g in got:
+        errors.append(f"group {g!r}: in sink but not in manifest")
+    if errors:
+        raise ValueError(
+            "packed dataset failed verification: " + "; ".join(errors)
+        )
+    return manifest
+
+
 def pack_sequence_sums(
     df: DataFrame,
     group_col: str,

@@ -1158,3 +1158,81 @@ def test_redact_pii_hand_computed(spark):
     # rescreen of redacted text is clean
     r = pii_screen(redact_pii(df, "text"), "text").collect()[0]
     assert r["pii_free"] is True
+
+
+def test_write_packed_dataset_roundtrip_and_audit(spark, tmp_path):
+    """The sink contract: hive layout per group, bounded file sizes,
+    contiguous sorted seq runs per file, manifest matches the data, verify
+    passes on an intact sink and names the damage on a broken one."""
+    import glob
+    import random
+
+    from data_linter_spark.functions.packing import (
+        pack_windows,
+        verify_packed_dataset,
+        write_packed_dataset,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (g, f"d{i:03d}", [rng.randrange(50257) for _ in range(rng.randrange(0, 23))])
+        for g in ("web", "books")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>"
+    ).repartition(6)
+    windows = pack_windows(df, "source", "doc_id", "tokens", context_len=16)
+    want = {
+        (r["source"], r["seq_id"]): (r["n_docs"], r["tokens"])
+        for r in windows.collect()
+    }
+
+    path = str(tmp_path / "packed")
+    manifest = write_packed_dataset(
+        windows, path, "source", context_len=16, windows_per_file=4
+    )
+    assert set(manifest["groups"]) == {"web", "books"}
+
+    # roundtrip: the sink holds exactly the pack_windows output
+    got = {
+        (r["source"], r["seq_id"]): (r["n_docs"], r["tokens"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == want
+
+    # layout: hive partition dirs, every file <= windows_per_file rows and
+    # sorted contiguous seq_ids (footer min/max locates any window range)
+    for g in ("web", "books"):
+        files = glob.glob(f"{path}/source={g}/*.parquet")
+        assert files, g
+        for f in files:
+            seqs = [r["seq_id"] for r in spark.read.parquet(f).collect()]
+            assert 0 < len(seqs) <= 4
+            assert seqs == sorted(seqs)
+            assert seqs == list(range(seqs[0], seqs[-1] + 1))
+
+    assert verify_packed_dataset(spark, path) == manifest
+
+    # damage detection: drop one data file -> verify names the group
+    victim = glob.glob(f"{path}/source=web/*.parquet")[0]
+    import os as _os
+
+    _os.remove(victim)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="web"):
+        verify_packed_dataset(spark, path)
+
+
+def test_write_packed_dataset_rejects_non_dense_input(spark, tmp_path):
+    from data_linter_spark.functions.packing import write_packed_dataset
+
+    bad = spark.createDataFrame(
+        [("web", 0, 1, 3, [1, 2, 3]), ("web", 2, 1, 3, [4, 5, 6])],
+        "source string, seq_id long, n_docs long, n_tokens long, tokens array<int>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not dense"):
+        write_packed_dataset(bad, str(tmp_path / "p"), "source", context_len=3)
