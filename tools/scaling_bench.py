@@ -121,7 +121,8 @@ def run_level(cpus: int, path: str, trials: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
          str(cpus), path, str(trials)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_LEVEL_TIMEOUT", "1800")),
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
