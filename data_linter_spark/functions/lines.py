@@ -10,8 +10,13 @@ original order.
 
 Plan shape at 10^12 docs:
 - explode lines map-side (``posexplode(split(text, delim))``), key each
-  line by a folded md5 (the engine's pinned cross-engine hash) — never
-  by the line text, so shuffle rows stay fixed-width;
+  line by its FULL md5 (fixed 32-char hex, cross-engine identical) — never
+  by the line text, so shuffle rows stay fixed-width. The key must be the
+  full 128 bits: this is an exact-match join key, not a sketch, and a
+  32-bit fold birthday-collides at ~10^5 distinct lines — at a web
+  corpus's ~10^8+ line vocabulary every boilerplate key would also
+  capture innocent lines and silently delete them (and an oracle sharing
+  the fold can never catch it);
 - one partially-aggregated ``groupBy(line_key)`` counts distinct docs
   (hot boilerplate lines combine map-side, so a line in 30% of all docs
   contributes one row per input partition, not one per occurrence);
@@ -37,14 +42,14 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_linter_spark.functions.dedup import hex8_to_long
 from data_linter_spark.functions.parallel import ensure_min_parallelism
 
 
 def line_key(line_col):
-    """Cross-engine line id: md5 of the exact line, folded to a long.
-    DuckDB counterpart: ``sql_hex8_to_long("md5(line)")``."""
-    return hex8_to_long(F.md5(line_col.cast("binary")))
+    """Cross-engine line id: full md5 hex of the exact line (128-bit —
+    collision-safe as an EXACT dedup key, see module docstring).
+    DuckDB counterpart: ``md5(line)``."""
+    return F.md5(line_col.cast("binary"))
 
 
 def dup_lines(

@@ -1728,7 +1728,9 @@ def _sql_line_dedup() -> str:
     from data_linter_spark.functions.dedup import sql_hex8_to_long
 
     lw = LINE_WORDS
-    fold = sql_hex8_to_long("md5(line)")
+    # exact-match line key = FULL md5 (128-bit), matching
+    # functions/lines.py:line_key — a 32-bit fold collides at web scale
+    fold = "md5(line)"
     return f"""
 WITH chunked AS (
   SELECT doc_id, source,
@@ -1754,7 +1756,7 @@ dups AS (
 kept AS (
   SELECT e.doc_id, e.source, e.pos, e.line
   FROM exploded e
-  WHERE e.line = '' OR {sql_hex8_to_long("md5(e.line)")} NOT IN
+  WHERE e.line = '' OR md5(e.line) NOT IN
         (SELECT line_key FROM dups)
 ),
 rebuilt AS (
