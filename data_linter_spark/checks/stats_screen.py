@@ -132,6 +132,10 @@ def parquet_stats_screen(
                         ),
                         "rows": rg.num_rows,
                         "nested": "." in col.path_in_schema,
+                        # parquet min/max stats EXCLUDE NaN, but Spark
+                        # orders NaN above every double — a float chunk's
+                        # stats can never prove "pass" (_judge_min_max)
+                        "float": col.physical_type in ("FLOAT", "DOUBLE"),
                     }
                 )
         n_rows += md.num_rows
@@ -144,15 +148,27 @@ def parquet_stats_screen(
         groups = acc.get(name)
         tests: dict[str, dict] = {}
 
+        # schema evolution: files written before the column existed carry
+        # row groups with NO chunk for it — Spark reads those rows as NULL.
+        # Nulls cannot violate min_max (tests stay orthogonal, reference
+        # semantics), but they DO disprove nullable; treat every uncovered
+        # row as a proven nullable violation so a "pass" can never be
+        # claimed from partial coverage.
+        covered_rows = sum(g["rows"] for g in groups) if groups else 0
+        uncovered = n_rows - covered_rows
+
         mi, ma = mc.get("minimum"), mc.get("maximum")
         if (mi is not None or ma is not None) and groups:
             tests["min_max_test"] = _combine(
                 [_judge_min_max(g, mi, ma) for g in groups]
             )
         if mc.get("nullable") is False and groups:
-            tests["nullable_test"] = _combine(
-                [_judge_nullable(g) for g in groups]
-            )
+            nv = [_judge_nullable(g) for g in groups]
+            if uncovered > 0:
+                nv.append(
+                    {"status": "fail", "proven_violations": uncovered}
+                )
+            tests["nullable_test"] = _combine(nv)
         if tests:
             out_cols[name] = tests
     return {
@@ -189,15 +205,26 @@ def _judge_min_max(a: dict, mi, ma) -> dict:
     if not (_is_numeric(a["min"]) and _is_numeric(a["max"])):
         return unknown  # byte-wise string stats don't order like values
     if (mi is None or a["min"] >= mi) and (ma is None or a["max"] <= ma):
+        # parquet stats exclude NaN while Spark sorts NaN above every
+        # double, so float chunks can hide a NaN that violates the upper
+        # bound — in-bounds stats prove nothing for float columns
+        if a.get("float"):
+            return unknown
         return {"status": "pass", "proven_violations": 0}
     # whole-chunk disproof: every value in the group is out on one side
     if (ma is not None and a["min"] > ma) or (
         mi is not None and a["max"] < mi
     ):
         # nested (array) stats count LEAF values, so rows - null_count
-        # would mix levels; claim only the sound lower bound there
-        nulls = a["null_count"] or 0
-        proven = 1 if a["nested"] else max(a["rows"] - nulls, 1)
+        # would mix levels; a float chunk's min-side disproof doesn't
+        # cover stats-invisible NaN rows (NaN never violates a minimum);
+        # unknown null_count can't be subtracted — each claims only the
+        # sound floor of 1
+        nulls = a["null_count"]
+        if a["nested"] or a.get("float") or nulls is None:
+            proven = 1
+        else:
+            proven = max(a["rows"] - nulls, 1)
         return {"status": "fail", "proven_violations": proven}
     return unknown
 

@@ -884,12 +884,22 @@ def apply_dedup(
     drops = labels.filter(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )
+    persisted = []
     use_broadcast = True
     if max_broadcast_drops is not None:
+        # the probe executes the labels pipeline (often the whole
+        # minhash->CC chain); persist the drop set so the anti-join
+        # reuses it instead of recomputing that chain
+        from pyspark.storagelevel import StorageLevel
+
+        drops = drops.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(drops)
         n_drops = drops.limit(max_broadcast_drops + 1).count()
         use_broadcast = n_drops <= max_broadcast_drops
     right = F.broadcast(drops) if use_broadcast else drops
-    return corpus.join(right, on=id_col, how="left_anti")
+    return _track_persisted(
+        corpus.join(right, on=id_col, how="left_anti"), persisted
+    )
 
 
 # -- benchmark contamination screen -----------------------------------------

@@ -99,8 +99,16 @@ def dedup_lines(
     anti-join above (see module docstring).
     """
     dups = dup_lines(df, id_col, text_col, delim, min_docs).select("line_key")
+    persisted = []
     use_broadcast = True
     if max_broadcast_lines is not None:
+        # the probe EXECUTES the full explode+groupBy once; persist the
+        # dup-line relation so the anti-join reuses it instead of paying
+        # the dominant corpus scan a second time
+        from pyspark.storagelevel import StorageLevel
+
+        dups = dups.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(dups)
         n = dups.limit(max_broadcast_lines + 1).count()
         use_broadcast = n <= max_broadcast_lines
     right = F.broadcast(dups) if use_broadcast else dups
@@ -131,7 +139,9 @@ def dedup_lines(
         ).alias("__text"),
     )
     n_lines = F.size(F.split(F.col(text_col), delim)).cast("long")
-    return (
+    from data_linter_spark.functions.dedup import _track_persisted
+
+    return _track_persisted(
         df.select(F.col(id_col), n_lines.alias("n_lines"))
         .join(rebuilt, on=id_col, how="left")
         .select(
@@ -141,5 +151,6 @@ def dedup_lines(
             (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
             .cast("long")
             .alias("n_lines_removed"),
-        )
+        ),
+        persisted,
     )

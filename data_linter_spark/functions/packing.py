@@ -348,11 +348,16 @@ def _window_checksum_expr(group_col: str) -> "F.Column":
     sum of xxhash64(group, seq_id, tokens) as decimal(38,0) so a 10^9-window
     group cannot overflow. Engine-internal (write and verify both run in
     Spark), so the non-portable hash is fine — the cross-engine oracle for
-    packing correctness is the SQL on the ASSIGNMENT, not the sink."""
+    packing correctness is the SQL on the ASSIGNMENT, not the sink.
+
+    The group value is hashed AS STRING: hive partition-column type
+    inference on read-back turns a numeric-looking group value into an
+    int, and xxhash64(int) != xxhash64(string) would fail verification on
+    a perfectly good dataset."""
     return F.sum(
-        F.xxhash64(F.col(group_col), F.col("seq_id"), F.col("tokens")).cast(
-            "decimal(38,0)"
-        )
+        F.xxhash64(
+            F.col(group_col).cast("string"), F.col("seq_id"), F.col("tokens")
+        ).cast("decimal(38,0)")
     )
 
 
@@ -433,8 +438,10 @@ def write_packed_dataset(
         "context_len": int(context_len),
         "group_col": group_col,
         "windows_per_file": int(windows_per_file),
+        # keys stringified: hive partition inference may read numeric
+        # group values back as ints, and JSON object keys are strings
         "groups": {
-            r[group_col]: {
+            str(r[group_col]): {
                 "n_windows": r["n_windows"],
                 "n_tokens": r["n_tokens"],
                 "min_seq_id": r["min_seq_id"],
@@ -470,7 +477,7 @@ def verify_packed_dataset(spark, path: str) -> dict:
     )
     group_col = manifest["group_col"]
     got = {
-        r[group_col]: r
+        str(r[group_col]): r
         for r in spark.read.parquet(path)
         .groupBy(group_col)
         .agg(

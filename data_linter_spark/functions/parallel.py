@@ -5,26 +5,69 @@ as one small parquet file reads as ONE partition, and every map-side
 expression downstream runs single-threaded no matter how many cores the
 cluster has (measured on sf0.1: the contamination shingle explode ran
 6.4 s in one task vs 0.4 s split; the fused numeric profile 2.5 s vs
-1.2 s). The guard round-robin-repartitions ONLY when the scan has fewer
-partitions than the session's parallelism — at production scale file
-count >> cores and it is a no-op, so no shuffle is ever added there. The
-explicit partition count also keeps AQE from re-coalescing the exchange
-back down.
+1.2 s). The guard round-robin-repartitions ONLY when the frame is a plain
+file scan with fewer FILES than the session's parallelism — at production
+scale file count >> cores and it is a no-op, so no shuffle is ever added
+there. The explicit partition count also keeps AQE from re-coalescing the
+exchange back down.
+
+The probe is ``df.inputFiles()`` — a driver-side listing that never
+compiles or runs the physical plan. The first implementation probed
+``df.rdd.getNumPartitions()``, which is NOT plan-time under AQE
+(session.py enables it): accessing ``.rdd`` of a plan containing an
+exchange forces ``getFinalPhysicalPlan()``, eagerly EXECUTING every
+upstream shuffle stage at DataFrame-construction time — the work then
+runs again in the real action. With the file probe, computed frames
+(joins, aggregations, repartitions report no input files they could be
+floored by) pass through untouched, which is also the correct behavior:
+the guard exists for under-split INPUTS, not for mid-pipeline exchanges
+whose parallelism the shuffle already sets.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string ('134217728b', '128MB', '1g') -> bytes."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _UNITS:
+        return int(float(s[:-1]) * _UNITS[s[-1]])
+    return int(float(s or 0))
+
 
 def ensure_min_parallelism(
     df: DataFrame, min_parts: int | None = None
 ) -> DataFrame:
-    """Repartition ``df`` up to the session's parallelism when its plan
-    currently yields fewer partitions; identity otherwise. The partition
-    probe is plan-time only (no job)."""
-    sc = df.sparkSession.sparkContext
-    target = int(min_parts or sc.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
+    """Repartition ``df`` up to the session's parallelism when it is a
+    file scan over fewer files than that; identity otherwise. Driver-side
+    probe only — no job, no physical-plan compilation."""
+    spark = df.sparkSession
+    target = int(min_parts or spark.sparkContext.defaultParallelism)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    # few files, but a big file still splits into size/maxPartitionBytes
+    # scan partitions — estimate before paying a shuffle. At most
+    # target-1 driver-side size lookups, and only on this cold path.
+    try:
+        from data_linter_spark.fs import HadoopFS
+
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        fs = HadoopFS(spark)
+        est = sum(
+            max(1, -(-fs.size(p) // max_bytes)) for p in files
+        )
+    except Exception:
+        est = len(files)
+    if est < target:
         return df.repartition(target)
     return df

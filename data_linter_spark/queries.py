@@ -366,13 +366,6 @@ HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 25
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 
-def q_hist_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.checks.drift import numeric_histogram_df
-
-    events = _read(spark, sf_dir, "events")
-    return numeric_histogram_df(events, "value", HIST_LO, HIST_HI, HIST_BINS)
-
-
 SQL_HIST_EVENTS_VALUE = f"""
 SELECT CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO}) / {_W}), 0),
             {HIST_BINS - 1}) AS INTEGER) AS bucket,
@@ -1057,25 +1050,6 @@ FROM events,
     return "\nUNION ALL\n".join(branches)
 
 
-def q_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.functions.sessions import latest_per_key
-
-    ev = _read(spark, sf_dir, "events")
-    out = latest_per_key(ev, "user_id", "ts", "event_id")
-    return out.select("user_id", "event_id", "event_type")
-
-
-SQL_LATEST_EVENTS_PER_USER = """
-WITH r AS (
-  SELECT user_id, event_id, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, event_id, event_type FROM r WHERE rn = 1
-"""
-
-
 # ---------------------------------------------------------------------------
 # 2g. cross-table reconciliation: events vs a deterministically perturbed
 #     copy (planted diffs, deletions, insertions)
@@ -1480,19 +1454,6 @@ ANN_LSH_DIM = 64
 ANN_LSH_PLANES = 8
 
 
-def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.functions.similarity import cosine_topk_lsh
-
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    return cosine_topk_lsh(
-        queries, emb, "q_emb", "embedding", "query_id", "vec_id",
-        dim=ANN_LSH_DIM, k=ANN_K, n_planes=ANN_LSH_PLANES,
-    )
-
-
 def _sql_ann_lsh() -> str:
     from data_linter_spark.functions.similarity import _planes
 
@@ -1597,13 +1558,6 @@ FROM ranked WHERE rk <= {ANN_K}
 
 TOKEN_HIST_BINS = 64
 _TOKEN_FOLD = 50257 // TOKEN_HIST_BINS
-
-
-def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.checks.drift import token_histogram_df
-
-    toks = tokens_from_documents(spark, sf_dir)
-    return token_histogram_df(toks, "tokens", 50257, TOKEN_HIST_BINS)
 
 
 SQL_TOKEN_HISTOGRAM = f"""

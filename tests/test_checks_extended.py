@@ -1236,3 +1236,53 @@ def test_write_packed_dataset_rejects_non_dense_input(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not dense"):
         write_packed_dataset(bad, str(tmp_path / "p"), "source", context_len=3)
+
+
+def test_pack_windows_doc_spanning_many_windows(spark):
+    """A document far longer than context_len fans out into one chunk per
+    spanned window; interior windows it owns alone are exactly full and
+    single-doc, and the stream survives reassembly."""
+    from data_linter_spark.functions.packing import pack_windows
+
+    long_doc = list(range(200))  # spans 13 windows at L=16
+    rows = [
+        ("g", "d0", [1000 + i for i in range(5)]),
+        ("g", "d1", long_doc),
+        ("g", "d2", [2000 + i for i in range(10)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, doc_id string, tokens array<int>"
+    )
+    ws = sorted(
+        pack_windows(df, "src", "doc_id", "tokens", context_len=16).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    stream = rows[0][2] + rows[1][2] + rows[2][2]
+    assert [t for w in ws for t in w["tokens"]] == stream
+    assert [w["seq_id"] for w in ws] == list(range(len(ws)))
+    # interior windows fully inside d1 hold exactly 16 tokens of d1 alone
+    solo = [w for w in ws if w["n_docs"] == 1 and w["seq_id"] not in (0, len(ws) - 1)]
+    assert len(solo) >= 10
+    for w in solo:
+        assert w["n_tokens"] == 16
+
+
+def test_write_packed_dataset_numeric_group_values(spark, tmp_path):
+    """Hive partition-column type inference reads numeric-looking group
+    values back as ints; manifest keys and checksums must survive it."""
+    from data_linter_spark.functions.packing import (
+        pack_windows,
+        verify_packed_dataset,
+        write_packed_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [("123", f"d{i}", list(range(i + 1))) for i in range(12)]
+        + [("456", f"d{i}", list(range(5))) for i in range(8)],
+        "source string, doc_id string, tokens array<int>",
+    )
+    w = pack_windows(df, "source", "doc_id", "tokens", context_len=8)
+    path = str(tmp_path / "p")
+    man = write_packed_dataset(w, path, "source", context_len=8)
+    assert set(man["groups"]) == {"123", "456"}
+    assert verify_packed_dataset(spark, path) == man

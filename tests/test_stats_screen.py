@@ -155,3 +155,40 @@ def test_fast_path_skips_scan_when_everything_proven(spark, tmp_path):
     assert plan.specs == [] and len(decided) == 2
     resp, _, _ = validate_parquet_with_stats_fast_path(spark, p, meta)
     assert resp.result["valid"] is True
+
+
+def test_screen_unsound_pass_blocked_on_missing_column(tmp_path):
+    """Schema evolution: a file written before a non-nullable column
+    existed reads as NULL rows in Spark — partial footer coverage must
+    prove nullable FAIL (with the uncovered rows as the lower bound),
+    never pass."""
+    d = tmp_path / "evo"
+    d.mkdir()
+    _write(str(d / "new.parquet"), [5, 6, 7], [[1], [2], [3]])
+    old = pa.table({"n_tok": pa.array([8, 9], type=pa.int32()),
+                    "tokens": pa.array([[1], [2]],
+                                       type=pa.list_(pa.int32()))})
+    pq.write_table(old, str(d / "old.parquet"))  # no doc_id column
+    screen = parquet_stats_screen(str(d), Metadata(META))
+    v = screen["columns"]["doc_id"]["nullable_test"]
+    assert v["status"] == "fail"
+    assert v["proven_violations"] == 2
+
+
+def test_screen_never_proves_minmax_pass_for_floats(tmp_path):
+    """Parquet min/max stats exclude NaN while Spark sorts NaN above every
+    double — an in-bounds float chunk must stay 'unknown', not 'pass'."""
+    import math
+
+    d = tmp_path / "fl"
+    d.mkdir()
+    t = pa.table({"value": pa.array([1.0, math.nan, 2.0],
+                                    type=pa.float64())})
+    pq.write_table(t, str(d / "f.parquet"))
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "value", "type": "float64",
+                     "minimum": 0.0, "maximum": 10.0}],
+    })
+    screen = parquet_stats_screen(str(d), meta)
+    assert screen["columns"]["value"]["min_max_test"]["status"] == "unknown"

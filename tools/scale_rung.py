@@ -72,7 +72,13 @@ def main() -> None:
         capture_output=True, text=True, timeout=7200,
     )
     sys.stderr.write(out.stderr[-2000:])
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        sys.exit(
+            f"scaling_worker failed (exit {out.returncode}, no JSON line); "
+            f"stderr tail above"
+        )
+    line = json_lines[-1]
     rec = json.loads(line)
     rec["materialize_sec"] = round(mat_s, 1)
     rec["input_path"] = path

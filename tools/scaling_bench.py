@@ -124,8 +124,14 @@ def run_level(cpus: int, path: str, trials: int) -> dict:
         capture_output=True, text=True,
         timeout=int(os.environ.get("SPARK_GRAFT_LEVEL_TIMEOUT", "1800")),
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(line)
+    json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError(
+            f"scaling_worker local[{cpus}] failed "
+            f"(exit {out.returncode}, no JSON line)"
+        )
+    rec = json.loads(json_lines[-1])
     rec["loadavg_at_start"] = round(load, 2)
     return rec
 
