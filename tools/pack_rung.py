@@ -1,0 +1,108 @@
+"""Packing scale rung: the skew-safe two-phase prefix sum at big row
+counts with the north-rule's 30%-hot ``source`` column.
+
+    python tools/pack_rung.py [n_rows] [cpus]
+
+Round-3's verdict flagged the per-group packing window as the engine's
+scale-killer (one sorted task per group; OOM measured at a 40M-row hot
+group). The registered queries now run :func:`pack_sequences_skew_safe`;
+this rung proves the claim at scale: the hot group (30% of all rows) is
+processed across MANY range partitions, and the run's output is
+self-checked against packing invariants computed in the same job:
+
+- global token conservation: sum(n_tok) == max(cum_end) summed per group
+  (cum_end of each group's last row equals the group's token total);
+- window arithmetic: per group, max(end_seq_id) + 1 == ceil(total / L)
+  (the last document's final token lands in the last window).
+
+Generation is executor-parallel arithmetic (``synthetic_tokens`` with the
+token ARRAY column pruned away by Catalyst — the assignment needs only
+``n_tok``), so the measured quantity is generate+pack+verify.
+Writes one JSON record to BENCH/.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.packing import (  # noqa: E402
+    pack_sequences_skew_safe,
+)
+from data_linter_spark.session import get_spark  # noqa: E402
+from data_linter_spark.tokens import synthetic_tokens  # noqa: E402
+
+CONTEXT_LEN = 2048
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name=f"pack_rung_{n_rows}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    toks = synthetic_tokens(spark, n_rows, n_partitions=cpus * 8).select(
+        "doc_id", "n_tok", "source"
+    )
+    t0 = time.perf_counter()
+    assigned = pack_sequences_skew_safe(
+        toks, "source", "doc_id", "n_tok", CONTEXT_LEN,
+        num_partitions=cpus * 4,
+    )
+    per_group = assigned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.max(F.col("start_offset") + F.col("n_tok"))).alias("max_cum_end"),
+        F.max("end_seq_id").alias("max_end_seq"),
+    )
+    rows = per_group.collect()
+    wall = time.perf_counter() - t0
+
+    bad = []
+    for r in rows:
+        if r["max_cum_end"] != r["total_tokens"]:
+            bad.append(f"{r['source']}: cum_end != token total")
+        want_windows = -(-r["total_tokens"] // CONTEXT_LEN)
+        if r["max_end_seq"] + 1 != want_windows:
+            bad.append(f"{r['source']}: window count mismatch")
+    hot = max(rows, key=lambda r: r["n_docs"])
+    rec = {
+        "workload": "generate + skew-safe pack assignment + invariant agg",
+        "rows": n_rows,
+        "cpus": cpus,
+        "context_len": CONTEXT_LEN,
+        "n_groups": len(rows),
+        "hot_group": {
+            "source": hot["source"],
+            "n_docs": hot["n_docs"],
+            "share": round(hot["n_docs"] / n_rows, 4),
+        },
+        "invariants_ok": not bad,
+        "invariant_failures": bad,
+        "wall_sec": round(wall, 1),
+        "rows_per_sec": round(n_rows / wall),
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    if bad:
+        sys.exit("packing invariants FAILED: " + "; ".join(bad))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"pack_rung_{n_rows}_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
