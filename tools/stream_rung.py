@@ -1,0 +1,125 @@
+"""Structured-Streaming validation throughput rung.
+
+    python tools/stream_rung.py [rows_per_sec_target] [seconds] [cpus]
+
+Drives the rate source at a target rows/sec through the SAME compiled
+constraint suite the batch engine runs (`stream_windowed_verdicts`: fused
+single-agg counters per tumbling window + watermark), into a noop-style
+foreachBatch sink, and reports the SUSTAINED processed-rows/sec from the
+query's own progress metrics (not the offered rate — if the pipeline
+can't keep up, processedRowsPerSecond is the honest number and
+`kept_up=false` flags it).
+
+The rate source's (timestamp, value) is mapped to the tokens-table shape
+with the same executor-parallel arithmetic as `synthetic_tokens`, so the
+validated schema matches the batch rungs. Writes one JSON record to
+BENCH/.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.metadata import Metadata  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+from data_linter_spark.streaming.validate_stream import (  # noqa: E402
+    stream_windowed_verdicts,
+)
+from data_linter_spark.tokens import MAX_TOK, tokens_metadata  # noqa: E402
+
+
+def main() -> None:
+    target = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 45
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    spark = get_spark(
+        app_name="stream_rung",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", target)
+        .option("numPartitions", cpus)
+        .load()
+    )
+    vid = F.col("value")
+    toks = rate.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), vid.cast("string")).alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, cast(value % 29 as int)), "
+            "i -> cast((value * 31 + i * 7) % 50257 as int))"
+        ).alias("tokens"),
+        ((vid % MAX_TOK) + 1).cast("int").alias("n_tok"),
+        F.when(vid % 100 < 30, F.lit("common_crawl"))
+        .otherwise(F.concat(F.lit("source_"), (vid % 37).cast("string")))
+        .alias("source"),
+    )
+    out = stream_windowed_verdicts(
+        toks, Metadata(tokens_metadata(strict=True)), "ts",
+        window_duration="10 seconds", watermark="5 seconds",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("noop")
+        .option(
+            "checkpointLocation",
+            f"/tmp/stream_rung_ckpt_{os.getpid()}",
+        )
+        .start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        time.sleep(2)
+    progresses = [
+        json.loads(p if isinstance(p, str) else p.json)
+        for p in q.recentProgress
+    ]
+    q.stop()
+    spark.stop()
+
+    # drop the ramp-up batches: sustained = batches after the first third
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in progresses
+        if p.get("numInputRows", 0) > 0
+    ]
+    if not rates:
+        sys.exit("no progress recorded")
+    tail = rates[len(rates) // 3:]
+    sustained = sum(tail) / len(tail)
+    total_rows = sum(p.get("numInputRows", 0) for p in progresses)
+    rec = {
+        "workload": "rate-source -> full fused suite in 10s tumbling "
+        "windows (watermarked) -> noop sink",
+        "offered_rows_per_sec": target,
+        "duration_sec": seconds,
+        "cpus": cpus,
+        "batches": len(rates),
+        "total_rows": total_rows,
+        "sustained_processed_rows_per_sec": round(sustained),
+        "kept_up": sustained >= target * 0.95,
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"stream_rung_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
