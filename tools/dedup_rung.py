@@ -1,0 +1,137 @@
+"""Near-dup dedup scale rung: the full MinHash->LSH->cluster->apply
+pipeline over millions of synthetic documents with PLANTED near-dups and
+an in-job recall check.
+
+    python tools/dedup_rung.py [n_docs] [cpus]
+
+The bench corpus (sf0.1 documents) is ~10^5 docs; this rung exercises the
+dedup family 10-100x larger, where the shingle explode, signature
+groupBy, and band-bucket join shapes actually matter. Documents are
+generated executor-parallel from id arithmetic (~45-65 words each);
+every 50th document is a planted near-dup of its predecessor (identical
+word stream plus one extra word -> word-trigram Jaccard ~0.95).
+
+Self-checks, computed in the same job:
+- recall on planted pairs: every (id-1, id) planted pair must surface
+  from the LSH bucketing + exact-Jaccard verify (recall == 1.0 expected —
+  a 0.95-Jaccard pair survives 8x4 banding with probability ~1);
+- apply consistency: kept == n_docs - (dup docs beyond each cluster rep).
+
+Writes one JSON record to BENCH/.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions import dedup as dd  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def synthetic_documents(spark, n_docs: int, n_partitions: int):
+    """Deterministic corpus: doc i has 45 + i%20 pseudo-words derived from
+    id arithmetic; every 50th doc (i>0) reuses doc i-1's words plus one
+    distinctive extra word (a ~0.95-Jaccard planted near-dup)."""
+    rng = spark.range(0, n_docs, 1, n_partitions)
+    is_dup = (F.col("id") % 50 == 0) & (F.col("id") > 0)
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    # md5-mixed words: a LINEAR formula (base*a + i*b mod V) makes word
+    # streams of nearby docs arithmetic shifts of each other — measured:
+    # the whole corpus collapsed into ONE near-dup cluster. Hash mixing
+    # makes cross-doc word collisions ~V^-1-rare, so only planted pairs
+    # share shingles.
+    words = F.expr(
+        "transform(sequence(0, 44 + cast(base % 20 as int)), "
+        "i -> concat('w', substring(md5(concat(cast(base as string), '-', "
+        "cast(i as string))), 1, 8)))"
+    )
+    text = F.concat_ws(
+        " ",
+        F.when(
+            is_dup,
+            F.concat(
+                F.array_join(words, " "),
+                F.concat(F.lit(" x"), F.col("id").cast("string")),
+            ),
+        ).otherwise(F.array_join(words, " ")),
+    )
+    return (
+        rng.withColumn("base", base)
+        .select(F.col("id").alias("doc_id"), F.col("id"), F.col("base"))
+        .select(F.col("doc_id"), text.alias("text"))
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name=f"dedup_rung_{n_docs}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synthetic_documents(spark, n_docs, cpus * 8)
+
+    t0 = time.perf_counter()
+    pairs = dd.minhash_near_dups(
+        docs, "doc_id", "text", n=3, n_hashes=32, bands=8, rows_per_band=4,
+        min_jaccard=0.8,
+    ).select("id_a", "id_b")
+    labels = dd.connected_components(pairs)
+    kept = dd.apply_dedup(docs.select("doc_id"), labels, "doc_id")
+    n_kept = kept.count()
+    wall = time.perf_counter() - t0
+
+    planted = (n_docs - 1) // 50  # ids 50, 100, ... < n_docs
+    lo = F.least(F.col("id_a"), F.col("id_b"))
+    hi = F.greatest(F.col("id_a"), F.col("id_b"))
+    found_planted = (
+        pairs.select(lo.alias("lo"), hi.alias("hi"))
+        .filter((F.col("hi") % 50 == 0) & (F.col("lo") == F.col("hi") - 1))
+        .distinct()
+        .count()
+    )
+    dd.release_persisted(kept)
+    recall = found_planted / planted if planted else 1.0
+    rec = {
+        "workload": "minhash(32)+LSH(8x4) -> exact-Jaccard verify -> "
+        "log-star CC -> apply (anti-join)",
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "planted_pairs": planted,
+        "planted_found": found_planted,
+        "planted_recall": round(recall, 4),
+        "n_kept": n_kept,
+        "n_kept_expected": n_docs - planted,
+        "n_dropped": n_docs - n_kept,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    if recall < 0.999:
+        sys.exit(f"planted-pair recall {recall} below expectation")
+    if n_kept != n_docs - planted:
+        sys.exit(
+            f"kept {n_kept} != expected {n_docs - planted} "
+            "(false-positive pairs merged non-dup docs)"
+        )
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"dedup_rung_{n_docs}_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
