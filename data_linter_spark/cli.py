@@ -78,6 +78,23 @@ def main(argv=None) -> int:
                     help="write metadata JSON here (default: stdout)")
     sg.add_argument("--enum-max", type=int, default=20)
 
+    pk = sub.add_parser(
+        "pack",
+        help="pack a tokens table into fixed-length training windows and "
+             "write the packed dataset (skew-safe assignment + audited sink)",
+    )
+    pk.add_argument("--input", required=True, help="tokens parquet path")
+    pk.add_argument("--output", required=True, help="packed dataset path")
+    pk.add_argument("--group-col", default="source")
+    pk.add_argument("--order-col", default="doc_id")
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--context-len", type=int, default=2048)
+    pk.add_argument("--windows-per-file", type=int, default=8192)
+    pk.add_argument(
+        "--verify", action="store_true",
+        help="re-read the sink and audit it against the manifest",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "run":
@@ -140,6 +157,40 @@ def main(argv=None) -> int:
             overwrite_config=args.overwrite,
         )
         print(json.dumps({"iam_config": args.output, "policy": args.policy}))
+        return 0
+
+    if args.cmd == "pack":
+        from data_linter_spark.functions.packing import (
+            pack_windows,
+            verify_packed_dataset,
+            write_packed_dataset,
+        )
+
+        spark = _spark(args)
+        toks = spark.read.parquet(args.input)
+        windows = pack_windows(
+            toks, args.group_col, args.order_col, args.tokens_col,
+            context_len=args.context_len,
+        )
+        manifest = write_packed_dataset(
+            windows, args.output, args.group_col,
+            context_len=args.context_len,
+            windows_per_file=args.windows_per_file,
+        )
+        if args.verify:
+            verify_packed_dataset(spark, args.output)
+        print(
+            json.dumps(
+                {
+                    "output": args.output,
+                    "groups": {
+                        g: v["n_windows"]
+                        for g, v in manifest["groups"].items()
+                    },
+                    "verified": bool(args.verify),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "summary":

@@ -542,6 +542,51 @@ def incremental_near_dups(
     return _track_persisted(pairs, persisted), new_bands
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    fingerprint_store: Optional[DataFrame],
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup ingest filter against a persisted fingerprint STORE — the
+    exact-match counterpart of :func:`incremental_near_dups`: each crawl
+    batch is deduped against the accumulated corpus WITHOUT re-reading it.
+
+    ``fingerprint_store`` holds one ``fingerprint`` (full 128-bit
+    normalized-content md5, :func:`~data_linter_spark.functions.text.
+    content_fingerprint_md5`) per previously-kept document; pass ``None``
+    for the first batch. Returns ``(kept_new, new_fingerprints)``:
+
+    - ``kept_new`` — the batch rows that are neither an exact dup of an
+      earlier batch row (within-batch canonicalization keeps the lowest
+      ``id_col``) nor of any stored fingerprint;
+    - ``new_fingerprints`` — the store delta to union in after the batch
+      commits.
+
+    Scale shape: one batch-sized fingerprint groupBy (map-side partial
+    min) + one join against the store on ``fingerprint`` — with the store
+    bucketed on ``fingerprint`` at 100 TB the store side never
+    re-shuffles, so every shuffle is batch-sized. No driver state, no
+    collect."""
+    from data_linter_spark.functions.text import content_fingerprint_md5
+
+    fp = content_fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    flagged = new_docs.select(F.col(id_col), F.col(text_col), fp)
+    canon = flagged.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col)
+    )
+    firsts = flagged.join(canon, on=["fingerprint", id_col], how="left_semi")
+    if fingerprint_store is not None:
+        firsts = firsts.join(
+            fingerprint_store.select("fingerprint"),
+            on="fingerprint",
+            how="left_anti",
+        )
+    kept = firsts.select(id_col, text_col)
+    delta = firsts.select("fingerprint")
+    return kept, delta
+
+
 # -- simhash ----------------------------------------------------------------
 
 

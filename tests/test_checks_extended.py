@@ -1286,3 +1286,39 @@ def test_write_packed_dataset_numeric_group_values(spark, tmp_path):
     man = write_packed_dataset(w, path, "source", context_len=8)
     assert set(man["groups"]) == {"123", "456"}
     assert verify_packed_dataset(spark, path) == man
+
+
+def test_incremental_exact_dedup_matches_batch_semantics(spark):
+    """Batch 2 deduped against batch 1's fingerprint store: within-batch
+    dups keep the lowest id, cross-batch dups drop, formatting-only edits
+    (case/punct/whitespace) count as exact dups via the normalized
+    fingerprint."""
+    from data_linter_spark.functions.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog"),
+         (3, "The QUICK, brown fox!!")],  # dup of 1 after normalization
+        "id long, text string",
+    )
+    kept1, store = incremental_exact_dedup(b1, None, "id", "text")
+    assert sorted(r["id"] for r in kept1.collect()) == [1, 2]
+    store = store.cache()
+
+    b2 = spark.createDataFrame(
+        [(10, "lazy   dog"),          # cross-batch dup of 2
+         (11, "genuinely new text"),
+         (12, "Genuinely NEW text"),  # within-batch dup of 11
+         (13, "another one")],
+        "id long, text string",
+    )
+    kept2, delta = incremental_exact_dedup(b2, store, "id", "text")
+    assert sorted(r["id"] for r in kept2.collect()) == [11, 13]
+    # delta holds exactly the kept batch-2 fingerprints
+    assert delta.count() == 2
+    # a third batch against store+delta drops batch-2 content too
+    merged = store.unionByName(delta)
+    b3 = spark.createDataFrame(
+        [(20, "another, ONE"), (21, "fresh")], "id long, text string"
+    )
+    kept3, _ = incremental_exact_dedup(b3, merged, "id", "text")
+    assert [r["id"] for r in kept3.collect()] == [21]

@@ -112,3 +112,34 @@ def test_cli_iam(tmp_path, capsys):
     assert got["s3"]["write_only"] == ["log/x/*"]
     assert got["s3"]["read_write"] == ["land/x/*", "pass/x/*"]
     assert json.load(open(pol))["Version"] == "2012-10-17"
+
+
+def test_cli_pack_writes_audited_dataset(spark, tmp_path, capsys):
+    import json
+    import random
+
+    from data_linter_spark.cli import main
+    from data_linter_spark.functions.packing import verify_packed_dataset
+
+    rng = random.Random(5)
+    rows = [
+        (f"d{i:03d}",
+         [rng.randrange(50257) for _ in range(rng.randrange(1, 30))],
+         "web" if i % 2 else "books")
+        for i in range(80)
+    ]
+    src = str(tmp_path / "tokens")
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main([
+        "--master", "local[4]", "pack", "--input", src, "--output", out,
+        "--context-len", "32", "--windows-per-file", "8", "--verify",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["verified"] is True and set(rep["groups"]) == {"web", "books"}
+    man = verify_packed_dataset(spark, out)
+    total_in = sum(len(t) for _d, t, _s in rows)
+    assert sum(g["n_tokens"] for g in man["groups"].values()) == total_in
