@@ -264,3 +264,43 @@ def test_pack_sequences_matches_simulation(spark, n_toks):
         for s, tok in sums.items():
             assert tok == L or s == last
         assert sum(sums.values()) == sum(n_toks)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=9),
+)
+def test_skew_safe_packing_equals_declarative_property(spark, rows, n_parts):
+    """The two-phase distributed prefix sum is ROW-IDENTICAL to the
+    declarative window form for arbitrary group mixes, token lengths
+    (including 0), and partition counts — the invariant that lets the
+    registered queries run the skew-safe form while the oracle pins the
+    declarative semantics."""
+    from data_linter_spark.functions.packing import (
+        pack_sequences,
+        pack_sequences_skew_safe,
+    )
+
+    data = [(g, f"d{i:04d}", n) for i, (g, n) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "src string, doc_id string, n_tok int"
+    ).repartition(5)
+    key = ["src", "doc_id"]
+    want = sorted(
+        map(tuple, pack_sequences(
+            df, *key, "n_tok", context_len=16).collect())
+    )
+    got = sorted(
+        map(tuple, pack_sequences_skew_safe(
+            df, *key, "n_tok", context_len=16,
+            num_partitions=n_parts).collect())
+    )
+    assert got == want
