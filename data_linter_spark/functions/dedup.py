@@ -563,15 +563,27 @@ def incremental_exact_dedup(
     - ``new_fingerprints`` — the store delta to union in after the batch
       commits.
 
+    ``kept_new`` preserves the batch's FULL schema (crawl metadata rides
+    through). NULL text folds to a sentinel fingerprint so null-text rows
+    dedup as one group — the same semantics as the batch path
+    (``corpus_retention_flags``'s window partitioning groups nulls) —
+    instead of silently vanishing through a null-unsafe join.
+
     Scale shape: one batch-sized fingerprint groupBy (map-side partial
     min) + one join against the store on ``fingerprint`` — with the store
     bucketed on ``fingerprint`` at 100 TB the store side never
     re-shuffles, so every shuffle is batch-sized. No driver state, no
-    collect."""
+    collect. The shared relation is persisted (both returned frames
+    derive from it); release via ``release_persisted(kept_new)`` after
+    both are materialized."""
+    from pyspark.storagelevel import StorageLevel
+
     from data_linter_spark.functions.text import content_fingerprint_md5
 
-    fp = content_fingerprint_md5(F.col(text_col)).alias("fingerprint")
-    flagged = new_docs.select(F.col(id_col), F.col(text_col), fp)
+    fp = F.coalesce(
+        content_fingerprint_md5(F.col(text_col)), F.lit("__null_text__")
+    ).alias("fingerprint")
+    flagged = new_docs.select("*", fp)
     canon = flagged.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col)
     )
@@ -582,7 +594,8 @@ def incremental_exact_dedup(
             on="fingerprint",
             how="left_anti",
         )
-    kept = firsts.select(id_col, text_col)
+    firsts = firsts.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = _track_persisted(firsts.drop("fingerprint"), [firsts])
     delta = firsts.select("fingerprint")
     return kept, delta
 

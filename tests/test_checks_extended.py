@@ -1322,3 +1322,34 @@ def test_incremental_exact_dedup_matches_batch_semantics(spark):
     )
     kept3, _ = incremental_exact_dedup(b3, merged, "id", "text")
     assert [r["id"] for r in kept3.collect()] == [21]
+
+
+def test_incremental_exact_dedup_null_text_and_full_schema(spark):
+    """Null-text rows dedup as one group (batch-path semantics) instead of
+    vanishing through a null-unsafe join, and kept rows keep the batch's
+    FULL schema."""
+    from data_linter_spark.functions.dedup import (
+        incremental_exact_dedup,
+        release_persisted,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None, "web"), (2, None, "books"), (3, "real text", "web")],
+        "id long, text string, source string",
+    )
+    kept, store = incremental_exact_dedup(b1, None, "id", "text")
+    rows = {r["id"]: r for r in kept.collect()}
+    # one canonical null-text row (lowest id) is kept, not zero
+    assert sorted(rows) == [1, 3]
+    # full schema rides through
+    assert set(kept.columns) == {"id", "text", "source"}
+    assert rows[1]["source"] == "web"
+    store = store.cache()
+    # later null-text rows drop against the stored sentinel
+    b2 = spark.createDataFrame(
+        [(10, None, "cc"), (11, "fresh", "cc")],
+        "id long, text string, source string",
+    )
+    kept2, _ = incremental_exact_dedup(b2, store, "id", "text")
+    assert [r["id"] for r in kept2.collect()] == [11]
+    assert release_persisted(kept2) == 1

@@ -74,7 +74,9 @@ def main() -> None:
         if r["max_cum_end"] != r["total_tokens"]:
             bad.append(f"{r['source']}: cum_end != token total")
         want_windows = -(-r["total_tokens"] // CONTEXT_LEN)
-        if r["max_end_seq"] + 1 != want_windows:
+        # an all-zero-token group has no windows; its end_seq_ids are all 0
+        got_windows = r["max_end_seq"] + 1 if r["total_tokens"] > 0 else 0
+        if got_windows != want_windows:
             bad.append(f"{r['source']}: window count mismatch")
     hot = max(rows, key=lambda r: r["n_docs"])
     rec = {

@@ -54,12 +54,16 @@ def main() -> None:
         .option("numPartitions", cpus)
         .load()
     )
+    # token arrays MUST match synthetic_tokens' length distribution
+    # (1..197 elements, avg ~99, n_tok == len) — the array-element
+    # constraints cost O(len), so a shorter stream array would make the
+    # streaming numbers incomparably lighter than the batch rungs
     vid = F.col("value")
     toks = rate.select(
         F.col("timestamp").alias("ts"),
         F.concat(F.lit("doc-"), vid.cast("string")).alias("doc_id"),
         F.expr(
-            "transform(sequence(0, cast(value % 29 as int)), "
+            f"transform(sequence(0, cast(value % {MAX_TOK} as int)), "
             "i -> cast((value * 31 + i * 7) % 50257 as int))"
         ).alias("tokens"),
         ((vid % MAX_TOK) + 1).cast("int").alias("n_tok"),
@@ -101,6 +105,18 @@ def main() -> None:
     tail = rates[len(rates) // 3:]
     sustained = sum(tail) / len(tail)
     total_rows = sum(p.get("numInputRows", 0) for p in progresses)
+    # "kept up" = aggregate ARRIVAL rate <= aggregate processing rate over
+    # the sustained tail (single batches jitter either way; an offered-rate
+    # slack would miss a slowly-growing backlog, a per-batch check
+    # false-alarms on jitter)
+    tail_p = [
+        p for p in progresses if p.get("numInputRows", 0) > 0
+    ][len(rates) // 3:]
+    in_rates = [
+        p["inputRowsPerSecond"] for p in tail_p if p.get("inputRowsPerSecond")
+    ]
+    arrival = sum(in_rates) / len(in_rates) if in_rates else 0.0
+    kept_up = bool(in_rates) and sustained >= 0.98 * arrival
     rec = {
         "workload": "rate-source -> full fused suite in 10s tumbling "
         "windows (watermarked) -> noop sink",
@@ -110,7 +126,8 @@ def main() -> None:
         "batches": len(rates),
         "total_rows": total_rows,
         "sustained_processed_rows_per_sec": round(sustained),
-        "kept_up": sustained >= target * 0.95,
+        "sustained_arrival_rows_per_sec": round(arrival),
+        "kept_up": kept_up,
         "loadavg": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(rec))
