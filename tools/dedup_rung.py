@@ -82,15 +82,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = synthetic_documents(spark, n_docs, cpus * 8)
 
+    from pyspark.storagelevel import StorageLevel
+
     t0 = time.perf_counter()
-    pairs = dd.minhash_near_dups(
-        docs, "doc_id", "text", n=3, n_hashes=32, bands=8, rows_per_band=4,
-        min_jaccard=0.8,
-    ).select("id_a", "id_b")
-    labels = dd.connected_components(pairs)
+    pairs = (
+        dd.minhash_near_dups(
+            docs, "doc_id", "text", n=3, n_hashes=32, bands=8,
+            rows_per_band=4, min_jaccard=0.8,
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+    labels = dd.connected_components(pairs)  # runs the CC rounds eagerly
+    t_cc = time.perf_counter() - t0 - t_pairs
     kept = dd.apply_dedup(docs.select("doc_id"), labels, "doc_id")
     n_kept = kept.count()
     wall = time.perf_counter() - t0
+    t_apply = wall - t_pairs - t_cc
 
     planted = (n_docs - 1) // 50  # ids 50, 100, ... < n_docs
     lo = F.least(F.col("id_a"), F.col("id_b"))
@@ -114,7 +124,13 @@ def main() -> None:
         "n_kept": n_kept,
         "n_kept_expected": n_docs - planted,
         "n_dropped": n_docs - n_kept,
+        "n_pairs": n_pairs,
         "wall_sec": round(wall, 1),
+        "stage_sec": {
+            "minhash_lsh_pairs": round(t_pairs, 1),
+            "cc_rounds": round(t_cc, 1),
+            "apply_anti_join": round(t_apply, 1),
+        },
         "docs_per_sec": round(n_docs / wall),
         "loadavg": round(os.getloadavg()[0], 2),
     }
