@@ -849,8 +849,11 @@ def connected_components(
     the executors) dies cloning the tree — persist alone does not cut
     lineage. (On a cluster where executor loss matters mid-job, set a
     reliable ``sparkContext.setCheckpointDir`` and swap for
-    ``checkpoint()``.) The convergence check is a scalar count of the
-    symmetric difference, never a collect of data.
+    ``checkpoint()``.) Convergence is probed with a map-side aggregate
+    signature per round (count + hash multiset sum — one 1-row job instead
+    of two subtract shuffles) and CONFIRMED with an exact symmetric
+    difference only at the candidate round, so the stop condition stays
+    exact; nothing is ever collected to the driver but scalars.
 
     Raises ``RuntimeError`` if the edge set has not stabilized after
     ``max_iter`` rounds — silently returning partial labels would hand the
@@ -882,6 +885,21 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e = pairs.repartition(parts, "u").localCheckpoint(eager=True)
+
+    # Convergence probe: an exact symmetric difference costs TWO extra
+    # wide shuffles per round. Instead compare a map-side aggregate
+    # signature (count + xxhash64 multiset sum) of consecutive edge
+    # relations — one 1-row agg job per round — and only when signatures
+    # match run the exact symmetric-difference check ONCE to confirm, so
+    # convergence remains exact, never probabilistic.
+    def _sig(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig_e = _sig(e)
     converged = False
     for _ in range(max_iter):
         new_e = (
@@ -889,14 +907,16 @@ def connected_components(
             .repartition(parts, "u")
             .localCheckpoint(eager=True)
         )
-        # symmetric difference over the (small) edge relation — scalar only
-        changed = (
-            new_e.subtract(e).union(e.subtract(new_e)).limit(1).count()
-        )
-        e = new_e
-        if changed == 0:
-            converged = True
-            break
+        sig_new = _sig(new_e)
+        if sig_new == sig_e:
+            changed = (
+                new_e.subtract(e).union(e.subtract(new_e)).limit(1).count()
+            )
+            if changed == 0:
+                e = new_e
+                converged = True
+                break
+        e, sig_e = new_e, sig_new
     if not converged:
         nodes.unpersist()
         pairs.unpersist()
