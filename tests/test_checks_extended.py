@@ -1116,32 +1116,36 @@ def test_incremental_near_dups_matches_full_recompute(spark):
 
 
 def test_release_persisted_frees_cached_relations(spark):
-    """The dedup family persists upstream relations (shingle sets, band
+    """The dedup family persists intermediate relations (shingle sets,
     signatures, fingerprints); release_persisted(result) must unpersist
     them so long-lived sessions don't accumulate executor storage
-    (ADVICE r2)."""
+    (ADVICE r2). Asserted on the TRACKED relations' own storage levels —
+    global getPersistentRDDs counts are racy in a shared session (the
+    async ContextCleaner reaps out-of-scope localCheckpoint/persisted
+    RDDs from other tests at arbitrary times)."""
+    from pyspark.storagelevel import StorageLevel
+
     from data_linter_spark.functions.dedup import (
         minhash_near_dups,
         release_persisted,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
     df = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(20)],
         "id int, text string",
     )
-    before = jsc.getPersistentRDDs().size()
     result = minhash_near_dups(df, "id", "text")
     result.collect()
-    assert jsc.getPersistentRDDs().size() > before  # relation cached
-    n = release_persisted(result)
-    assert n == 1
-    assert jsc.getPersistentRDDs().size() == before
+    tracked = result._dls_persisted
+    assert len(tracked) == 1
+    assert tracked[0].storageLevel != StorageLevel.NONE  # cached
+    assert release_persisted(result) == 1
+    assert tracked[0].storageLevel == StorageLevel.NONE  # released
     assert release_persisted(result) == 0  # idempotent
-    # cache=False never persists, nothing to release
+    # cache=False never persists, nothing to track or release
     r2 = minhash_near_dups(df, "id", "text", cache=False)
     r2.collect()
-    assert jsc.getPersistentRDDs().size() == before
+    assert getattr(r2, "_dls_persisted", []) == []
     assert release_persisted(r2) == 0
 
 
@@ -1302,6 +1306,8 @@ def test_incremental_exact_dedup_matches_batch_semantics(spark):
     )
     kept1, store = incremental_exact_dedup(b1, None, "id", "text")
     assert sorted(r["id"] for r in kept1.collect()) == [1, 2]
+    from data_linter_spark.functions.dedup import release_persisted
+    release_persisted(kept1)
     store = store.cache()
 
     b2 = spark.createDataFrame(
@@ -1322,6 +1328,9 @@ def test_incremental_exact_dedup_matches_batch_semantics(spark):
     )
     kept3, _ = incremental_exact_dedup(b3, merged, "id", "text")
     assert [r["id"] for r in kept3.collect()] == [21]
+    release_persisted(kept2)
+    release_persisted(kept3)
+    store.unpersist()
 
 
 def test_incremental_exact_dedup_null_text_and_full_schema(spark):
@@ -1339,6 +1348,7 @@ def test_incremental_exact_dedup_null_text_and_full_schema(spark):
     )
     kept, store = incremental_exact_dedup(b1, None, "id", "text")
     rows = {r["id"]: r for r in kept.collect()}
+    release_persisted(kept)
     # one canonical null-text row (lowest id) is kept, not zero
     assert sorted(rows) == [1, 3]
     # full schema rides through
