@@ -133,9 +133,15 @@ CHECKS = {
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
     "repetition_signals": {
-        # pure map-side signals: one scan, no exchange at all
+        # pure map-side signals: one scan, and the COMPUTATION adds no
+        # exchange — the only one permitted is the input-parallelism
+        # guard's round-robin split of an under-split input (at sf0.01
+        # documents is ONE 64 KB file; at production scale the guard is a
+        # no-op and this plan has no exchange at all). A hash/range
+        # exchange would mean a groupBy/join crept in — that stays FAIL.
         "single_scan": lambda p: n_scans(p) == 1,
-        "no_shuffle": lambda p: "Exchange" not in p,
+        "no_hash_or_range_shuffle": lambda p: "hashpartitioning" not in p
+        and "rangepartitioning" not in p,
     },
     "pii_screen_by_source": {
         "single_scan": lambda p: n_scans(p) == 1,
