@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,7 +130,13 @@ def pack_sequences(
     form (explicit ROWS frame, so tied order keys degrade to positional
     rather than shared-cumsum semantics); see
     :func:`pack_sequences_skew_safe` for the form that survives a hot
-    group at 10^12 rows."""
+    group at 10^12 rows.
+
+    Null contract (shared with the skew-safe form, asserted identical in
+    tests): a null ``n_tok`` contributes 0 tokens (coalesced at ingestion,
+    so the running sum never turns null/NaN), and a null ``group`` is one
+    ordinary group (window partitioning, the skew-safe carry dict, and the
+    offsets join all treat null as a single key)."""
     if check_order_unique:
         _assert_order_unique(df, group_col, order_col)
     w = (
@@ -137,7 +144,7 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.col(n_tok_col).cast("long")
+    n_tok = F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0).cast("long"))
     base = df.select(
         F.col(group_col),
         F.col(order_col),
@@ -187,7 +194,8 @@ def pack_sequences_skew_safe(
     base = df.select(
         F.col(group_col),
         F.col(order_col),
-        F.col(n_tok_col).cast("long").alias(n_tok_col),
+        F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0).cast("long"))
+        .alias(n_tok_col),
         *carry_cols,
     )
     ranged = base.repartitionByRange(
@@ -213,11 +221,23 @@ def pack_sequences_skew_safe(
     )
 
     # (2) local cumsum, Arrow-batched, carry across batches per partition.
-    fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in ranged.schema.fields
+    # StructType (not a DDL string) so the coalesced n_tok keeps its
+    # non-nullable flag and both packing forms emit identical schemas.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ranged.schema.fields)
+        + [StructField("__local_cum_end", LongType(), True)]
     )
-    out_schema = f"{fields}, __local_cum_end bigint"
+
+    # null group values arrive as NaN/None in pandas; NaN != NaN, so a raw
+    # dict keyed on the group value would miss the cross-batch carry for
+    # the null group — normalize to a sentinel before keying (n_tok itself
+    # is already coalesced to 0 Spark-side, so cumsum never sees NaN)
+    null_key = object()
+
+    def _k(g):
+        return null_key if pd.isna(g) else g
 
     def local_cumsum(batches: Iterator) -> Iterator:
         carry: dict = {}
@@ -228,21 +248,34 @@ def pack_sequences_skew_safe(
                 n_tok_col
             ].cumsum()
             start_off = pdf[group_col].map(
-                lambda g: carry.get(g, 0)
+                lambda g: carry.get(_k(g), 0)
             )
             pdf = pdf.assign(__local_cum_end=local + start_off)
             tail = pdf.groupby(group_col, sort=False, dropna=False).tail(1)
             for g, e in zip(tail[group_col], tail["__local_cum_end"]):
-                carry[g] = int(e)
+                carry[_k(g)] = int(e)
             yield pdf
 
     local = ranged.sortWithinPartitions(group_col, order_col).mapInPandas(
         local_cumsum, schema=out_schema
     )
 
-    # (4) broadcast offsets, map-side join; no further shuffle.
+    # (4) broadcast offsets, map-side join; no further shuffle. Null-safe
+    # equality on the group key (plain `=` never matches null keys, which
+    # would zero the offset for a null group spanning partitions); `<=>`
+    # keeps the BroadcastHashJoin shape.
+    off = F.broadcast(
+        offsets.withColumnRenamed("__pid", "__off_pid")
+        .withColumnRenamed(group_col, "__off_grp")
+    )
     assigned = (
-        local.join(F.broadcast(offsets), ["__pid", group_col], "left")
+        local.join(
+            off,
+            (F.col("__pid") == F.col("__off_pid"))
+            & F.col(group_col).eqNullSafe(F.col("__off_grp")),
+            "left",
+        )
+        .drop("__off_pid", "__off_grp")
         .withColumn(
             "__cum_end",
             (
@@ -520,7 +553,7 @@ def pack_sequence_sums(
     order_col: str,
     n_tok_col: str,
     context_len: int = 2048,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Per-window token accounting derived from the assignment: ``(group,
     seq_id, n_docs, seq_tokens)``. Every window must hold exactly
@@ -554,7 +587,7 @@ def packing_stats(
     order_col: str,
     n_tok_col: str,
     context_len: int = 2048,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Per-group packing accounting for concat-and-chunk packing in
     ``order_col`` order: ``(group, n_docs, total_tokens, n_windows,

@@ -106,6 +106,62 @@ def ivf_probe_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     return probe_cells
 
 
+def _local_topk_then_rank(
+    scored: DataFrame, k: int, round_to: int | None
+) -> DataFrame:
+    """TWO-STAGE exact top-k over a scored (query_id, neighbor_id, sim)
+    relation — the same shape as ``top_quality_per_group``'s fix (r4 verdict
+    task 1): a plain ``Window.partitionBy(query_id)`` row_number sorts each
+    query's FULL candidate set (corpus-sized for the brute path) in one
+    task. Instead:
+
+    1. an Arrow-batched per-input-partition local top-k keeps at most ``k``
+       rows per query per partition with NO shuffle and O(k·queries) state
+       (sort keys ``sim desc, neighbor_id asc`` — the exact global order, so
+       every true global top-k row survives locally);
+    2. only the survivors (≤ k × queries × partitions rows — small by
+       construction regardless of corpus size) shuffle into the final
+       per-query rank window.
+
+    Tie-break caveat: pandas orders non-ASCII strings by Python semantics,
+    Spark by UTF-8 bytes; identical for the ASCII ids used here, and
+    sim-tie boundaries are the only rows affected."""
+    from typing import Iterator
+
+    schema = scored.schema
+
+    def local_topk(batches: Iterator) -> Iterator:
+        best = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat(
+                [best, pdf], ignore_index=True
+            )
+            best = (
+                pool.sort_values(
+                    ["sim", "neighbor_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                .groupby("query_id", sort=False, dropna=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    survivors = scored.mapInPandas(local_topk, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    out = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"),
+                "sim")
+    )
+    if round_to is not None:
+        out = out.withColumn("sim", F.round("sim", round_to))
+    return out
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -117,7 +173,9 @@ def cosine_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self excluded when ids
-    collide). Returns (query_id, neighbor_id, rk, sim)."""
+    collide). Returns (query_id, neighbor_id, rk, sim). The query side is
+    broadcast and the corpus scanned once; ranking is the two-stage local
+    top-k (no corpus-sized window partition anywhere)."""
     q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
                                    F.col(q_col).alias("__q")))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_col).alias("__c"))
@@ -130,18 +188,7 @@ def cosine_topk(
             cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"),
-                "sim")
-    )
-    if round_to is not None:
-        out = out.withColumn("sim", F.round("sim", round_to))
-    return out
+    return _local_topk_then_rank(scored, k, round_to)
 
 
 def lsh_signature(col, planes: list[list[float]]):
@@ -207,16 +254,7 @@ def cosine_topk_lsh(
             cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"),
-                "sim")
-    )
-    if round_to is not None:
-        out = out.withColumn("sim", F.round("sim", round_to))
-    return out
+    return _local_topk_then_rank(scored, k, round_to)
 
 
 def ivf_assign_expr(col, centroids: list[tuple[int, list[float]]]):
@@ -291,13 +329,4 @@ def cosine_topk_ivf(
             cosine_sim_pd(F.col("__q"), F.col("__c")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"),
-                "sim")
-    )
-    if round_to is not None:
-        out = out.withColumn("sim", F.round("sim", round_to))
-    return out
+    return _local_topk_then_rank(scored, k, round_to)

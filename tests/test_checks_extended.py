@@ -512,6 +512,42 @@ def test_pack_sequences_skew_safe_null_and_zero_tokens(spark):
     )
 
 
+def test_pack_sequences_null_contract(spark):
+    """The documented null contract (r4 ADVICE): null n_tok counts as 0
+    tokens, and a NULL group is one ordinary group — even when its rows
+    span several range partitions (exercises the NaN-safe carry dict and
+    the null-safe offsets join in the skew-safe form). Both forms must
+    agree row-for-row, and no NaN/None may leak into the offsets."""
+    from data_linter_spark.functions.packing import (
+        pack_sequences,
+        pack_sequences_skew_safe,
+    )
+
+    rows = [(None, f"d{i:04d}", None if i % 5 == 0 else (i % 9))
+            for i in range(400)]
+    rows += [("a", f"d{i:04d}", i % 7) for i in range(40)]
+    rows += [("a", "dnull", None)]
+    df = spark.createDataFrame(
+        rows, "src string, doc_id string, n_tok int"
+    ).repartition(8)
+    ref = pack_sequences(df, "src", "doc_id", "n_tok", context_len=16)
+    # num_partitions=6 forces the NULL group (400 rows, largest) across
+    # multiple range partitions, so the cross-partition offset path runs
+    got = pack_sequences_skew_safe(
+        df, "src", "doc_id", "n_tok", context_len=16, num_partitions=6
+    )
+    nones_first = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    ref_rows = sorted(map(tuple, ref.collect()), key=nones_first)
+    got_rows = sorted(map(tuple, got.collect()), key=nones_first)
+    assert ref_rows == got_rows
+    # null n_tok -> 0 tokens: start_offset of the row after dnull is
+    # unchanged, and dnull's own columns are concrete ints, not null
+    by_id = {(r["src"], r["doc_id"]): r for r in got.collect()}
+    dn = by_id[("a", "dnull")]
+    assert dn["n_tok"] == 0 and dn["start_offset"] is not None
+    assert all(r["start_offset"] is not None for r in got.collect())
+
+
 def test_pack_windows_materializes_exact_stream(spark):
     """pack_windows produces the REAL packed tensors: every non-final
     window exactly L tokens, and flattening windows in order reproduces

@@ -63,11 +63,21 @@ CHECKS = {
         "broadcast_queries": lambda p: "Broadcast" in p,
         "lsh_equi_join": lambda p: "BroadcastHashJoin" in p
         or "SortMergeJoin" in p,
+        # r4 verdict task 1: the final rank window's input must be the
+        # Arrow local-top-k survivors (≤ k×queries×partitions rows), never
+        # a corpus-sized per-query partition — every Window in the plan
+        # has a MapInPandas upstream (2 arms → 2 of each)
+        "local_topk_before_window": lambda p: len(
+            re.findall(r"\(\d+\) Window\n", p)
+        ) <= len(re.findall(r"\(\d+\) MapInPandas", p)),
     },
     "ann_cosine_topk_ivf": {
         "no_cartesian": lambda p: "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p,
         "broadcast_probes": lambda p: "Broadcast" in p,
+        "local_topk_before_window": lambda p: len(
+            re.findall(r"\(\d+\) Window\n", p)
+        ) <= len(re.findall(r"\(\d+\) MapInPandas", p)),
     },
     "dedup_minhash_lsh": {
         # the corpus (documents UNION mutated = 2 scans) appears once per
