@@ -169,6 +169,14 @@ def parquet_stats_screen(
                     {"status": "fail", "proven_violations": uncovered}
                 )
             tests["nullable_test"] = _combine(nv)
+        elif mc.get("nullable") is False and n_rows > 0:
+            # column absent from EVERY file's footers (full schema
+            # evolution): Spark reads all n_rows as NULL — a provable
+            # fail, not a skip (r4 ADVICE)
+            tests["nullable_test"] = {
+                "status": "fail",
+                "proven_violations": n_rows,
+            }
         if tests:
             out_cols[name] = tests
     return {

@@ -978,6 +978,7 @@ def apply_dedup(
     labels: DataFrame,
     id_col: str,
     max_broadcast_drops: Optional[int] = 50_000_000,
+    max_broadcast_bytes: int = 2_000_000_000,
 ) -> DataFrame:
     """Materialize the DEDUPED corpus from a cluster labeling: keep each
     cluster's representative (``id == rep``), drop the rest; docs absent
@@ -993,9 +994,17 @@ def apply_dedup(
     broadcast hint below the threshold and a plain shuffle left-anti
     above it (AQE still co-partitions both sides on ``id_col``; at that
     duplication level the corpus shuffle is unavoidable and correct).
-    Pass ``max_broadcast_drops=None`` to pin the broadcast unconditionally.
-    This is the step that turns the pairs->clusters analytics into the
-    training corpus actually shipped."""
+
+    The ceiling the guard protects is in BYTES, not rows (r4 ADVICE): 50M
+    fixed-width numeric ids are ~1.6 GB in a broadcast hash relation, but
+    50M web-scale URL ids can exceed 8 GB. So under the row cap a second
+    probe on the (already persisted, already counted) drop set estimates
+    bytes — avg key width + per-row hash-relation overhead — and falls
+    back to the shuffle anti-join when the estimate tops
+    ``max_broadcast_bytes`` (default 2 GB, conservative vs the 8 GB hard
+    limit). Pass ``max_broadcast_drops=None`` to pin the broadcast
+    unconditionally. This is the step that turns the pairs->clusters
+    analytics into the training corpus actually shipped."""
     drops = labels.filter(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )
@@ -1011,6 +1020,20 @@ def apply_dedup(
         persisted.append(drops)
         n_drops = drops.limit(max_broadcast_drops + 1).count()
         use_broadcast = n_drops <= max_broadcast_drops
+        if use_broadcast and n_drops > 0:
+            from pyspark.sql.types import StringType
+
+            is_str = isinstance(drops.schema[id_col].dataType, StringType)
+            if is_str:
+                avg_w = (
+                    drops.limit(100_000)
+                    .agg(F.avg(F.length(id_col)))
+                    .first()[0]
+                ) or 8.0
+                per_row = float(avg_w) + 24.0  # UTF8String + entry overhead
+            else:
+                per_row = 32.0  # fixed-width key + entry overhead
+            use_broadcast = n_drops * per_row <= max_broadcast_bytes
     right = F.broadcast(drops) if use_broadcast else drops
     return _track_persisted(
         corpus.join(right, on=id_col, how="left_anti"), persisted

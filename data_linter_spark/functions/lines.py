@@ -96,7 +96,11 @@ def dedup_lines(
 
     ``max_broadcast_lines`` is the measured guard on the dup-line
     relation: probe with a capped count, broadcast below, shuffle
-    anti-join above (see module docstring).
+    anti-join above (see module docstring). Unlike ``apply_dedup``'s
+    variable-width doc ids, a row-count proxy is SOUND here: the relation
+    is a single fixed-width column (32-char md5 hex, ~56 B/row in the
+    broadcast hash relation), so the 20M default caps the broadcast at
+    ~1.1 GB regardless of the corpus's line lengths.
     """
     dups = dup_lines(df, id_col, text_col, delim, min_docs).select("line_key")
     persisted = []

@@ -725,14 +725,28 @@ FROM m
 """
 
 
-def q_pii_screen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_linter_spark.functions.text import pii_screen
+PII_CARD_PLANT_EVERY = 53
+PII_CARD_VALID = " card 4111 1111 1111 1111 ok"     # Luhn-valid
+PII_CARD_INVALID = " card 4111 1111 1111 1112 ok"   # same shape, bad check
 
+
+def q_pii_screen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screen with Luhn confirmation: every 53rd doc gets a planted
+    Luhn-VALID card, every 53rd+1 a same-shaped Luhn-INVALID number — the
+    ``credit_cards_luhn`` counter must separate them (raw regex counts
+    both; the oracle recomputes the checksum independently in DuckDB)."""
+    from data_linter_spark.functions.text import PII_PATTERNS, pii_screen
+
+    k = F.col("doc_id") % PII_CARD_PLANT_EVERY
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source", "text"
+        "doc_id",
+        "source",
+        F.when(k == 0, F.concat(F.col("text"), F.lit(PII_CARD_VALID)))
+        .when(k == 1, F.concat(F.col("text"), F.lit(PII_CARD_INVALID)))
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
     flagged = pii_screen(docs, "text")
-    from data_linter_spark.functions.text import PII_PATTERNS
 
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -740,6 +754,7 @@ def q_pii_screen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(f"n_{name}").cast("long").alias(f"{name}s")
             for name in PII_PATTERNS
         ],
+        F.sum("n_credit_card_luhn").cast("long").alias("credit_cards_luhn"),
         F.sum(F.when(F.col("pii_free"), 1).otherwise(0))
         .cast("long")
         .alias("pii_free_docs"),
@@ -757,19 +772,42 @@ def _sql_pii_screen() -> str:
     per = ",\n         ".join(
         f"{cnt(name)} AS n_{name}" for name in PII_PATTERNS
     )
+    # independent Luhn recomputation (list lambda, 1-based index from the
+    # right after reverse — doubles every second digit, same as Spark's
+    # luhn_valid with 0-based transform index)
+    luhn = (
+        "len(list_filter(regexp_extract_all(text, '{cc}'), x -> "
+        "(length(regexp_replace(x, '[^0-9]', '', 'g')) BETWEEN 13 AND 19)"
+        " AND (list_sum(list_transform(string_split("
+        "reverse(regexp_replace(x, '[^0-9]', '', 'g')), ''), (d, i) -> "
+        "CASE WHEN i % 2 = 0 THEN CASE WHEN CAST(d AS INT)*2 > 9 "
+        "THEN CAST(d AS INT)*2 - 9 ELSE CAST(d AS INT)*2 END "
+        "ELSE CAST(d AS INT) END)) % 10 = 0)))"
+    ).format(cc=PII_PATTERNS["credit_card"])
     sums = ",\n       ".join(
         f"CAST(SUM(n_{name}) AS BIGINT) AS {name}s" for name in PII_PATTERNS
     )
     total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
     return f"""
-WITH p AS (
-  SELECT source,
-         {per}
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {PII_CARD_PLANT_EVERY} = 0
+                THEN text || '{PII_CARD_VALID}'
+              WHEN doc_id % {PII_CARD_PLANT_EVERY} = 1
+                THEN text || '{PII_CARD_INVALID}'
+              ELSE text END AS text
   FROM documents
+),
+p AS (
+  SELECT source,
+         {per},
+         {luhn} AS n_credit_card_luhn
+  FROM planted
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        {sums},
+       CAST(SUM(n_credit_card_luhn) AS BIGINT) AS credit_cards_luhn,
        CAST(SUM(CASE WHEN {total} = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS pii_free_docs
 FROM p GROUP BY source

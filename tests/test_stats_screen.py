@@ -192,3 +192,20 @@ def test_screen_never_proves_minmax_pass_for_floats(tmp_path):
     })
     screen = parquet_stats_screen(str(d), meta)
     assert screen["columns"]["value"]["min_max_test"]["status"] == "unknown"
+
+
+def test_screen_fails_nonnullable_column_absent_from_all_files(tmp_path):
+    """Full schema evolution: a non-nullable column absent from EVERY
+    file's footers means Spark reads all rows as NULL — the screen must
+    emit a proven FAIL covering every row, not silently skip the test
+    (r4 ADVICE)."""
+    d = tmp_path / "evo_all"
+    d.mkdir()
+    old = pa.table({"n_tok": pa.array([8, 9, 10], type=pa.int32()),
+                    "tokens": pa.array([[1], [2], [3]],
+                                       type=pa.list_(pa.int32()))})
+    pq.write_table(old, str(d / "old.parquet"))  # doc_id never existed
+    screen = parquet_stats_screen(str(d), Metadata(META))
+    v = screen["columns"]["doc_id"]["nullable_test"]
+    assert v["status"] == "fail"
+    assert v["proven_violations"] == 3
