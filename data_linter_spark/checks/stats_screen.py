@@ -209,6 +209,16 @@ def _judge_min_max(a: dict, mi, ma) -> dict:
     """One row group's min_max verdict from its chunk stats."""
     unknown = {"status": "unknown", "proven_violations": 0}
     if not a["has_minmax"]:
+        # an ALL-NULL chunk carries no min/max stats, but null_count ==
+        # rows proves no value exists to violate the bounds (nulls never
+        # violate min_max — reference semantics, tests stay orthogonal);
+        # nested leaves excluded: their null_count counts leaf values
+        if (
+            not a["nested"]
+            and a["null_count"] is not None
+            and a["null_count"] == a["rows"]
+        ):
+            return {"status": "pass", "proven_violations": 0}
         return unknown
     if not (_is_numeric(a["min"]) and _is_numeric(a["max"])):
         return unknown  # byte-wise string stats don't order like values

@@ -192,6 +192,7 @@ def validate_partitioned(
     lineage: Optional[dict] = None,
     ref_tables: Optional[dict] = None,
     unique_screen_only: bool = False,
+    table_path: Optional[str] = None,
 ) -> dict:
     """Validate ``df`` per distinct ``partition_col`` value with checkpoint/
     resume. Returns a summary; per-partition verdicts land in the manifest.
@@ -204,6 +205,19 @@ def validate_partitioned(
     DataSourceV2 — the scan reads ONLY the batch's partitions
     (``explain()`` shows PartitionFilters; test_manifest asserts it). A
     string-cast filter would defeat pruning on typed partition columns.
+
+    Footer-stats fast path: pass ``table_path`` (the root of the
+    hive-layout ``partition_col=value/`` parquet tree ``df`` reads) and
+    each pending partition is first screened against its files' parquet
+    FOOTERS (:mod:`~data_linter_spark.checks.stats_screen`). A partition
+    whose every compiled (column, test) spec is decided by chunk
+    statistics is recorded straight into the manifest — metrics marked
+    ``proven_by_parquet_stats`` — and never scanned; at 100 TB the clean
+    majority of a curated table validates in footer time (O(files), not
+    O(rows)) while only undecided partitions pay the fused scan. Resume
+    treats proven records exactly like scanned ones. Constraints on the
+    partition column itself are decided from the partition VALUE (hive
+    layout stores it in the directory name, not the footers).
 
     Metadata keys that are NOT per-partition-decomposable (``unique`` —
     a duplicate may span partitions — ``references``, ``dependencies``)
@@ -218,6 +232,12 @@ def validate_partitioned(
         (v for v in all_values if partition_id_of(v) not in done),
         key=partition_id_of,
     )
+
+    n_proven = 0
+    if table_path is not None and todo:
+        todo, n_proven = _screen_partitions(
+            df, metadata, partition_col, table_path, todo, manifest, lineage
+        )
 
     n_validated = 0
     for batch in _chunks(todo, batch_size):
@@ -261,11 +281,133 @@ def validate_partitioned(
         "partitions_skipped_resume": sum(
             1 for v in all_values if partition_id_of(v) in done
         ),
+        "partitions_proven_by_stats": n_proven,
         "partitions_validated": n_validated,
         "all_passed": all(r["status"] == "pass" for r in recs),
         "manifest_path": manifest.path,
         "global_checks": global_results,
     }
+
+
+HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_partition_dirs(table_path: str, partition_col: str) -> dict:
+    """partition_id -> directory for a local hive-layout parquet tree.
+    Values are read back from the directory names (Spark percent-escapes
+    special characters; ``unquote`` inverts it) rather than re-derived
+    from typed values, so exotic strings round-trip. Scheme-qualified
+    paths return {} — the footer screen reads with pyarrow, which is
+    local-only in this container; remote tables just take the scan path."""
+    if "://" in table_path or not os.path.isdir(table_path):
+        return {}
+    prefix = f"{partition_col}="
+    out = {}
+    for name in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, name)
+        if not name.startswith(prefix) or not os.path.isdir(full):
+            continue
+        raw = urllib.parse.unquote(name[len(prefix):])
+        out[NULL_PARTITION_ID if raw == HIVE_NULL_DIR else raw] = full
+    return out
+
+
+def _judge_partition_value(value, mc: dict, test_name: str, n_rows: int):
+    """Decide a spec on the PARTITION COLUMN itself from the partition's
+    constant value (exact, not a footer bound — every row shares it).
+    Returns a screen-shaped verdict, or None for test types the fast path
+    doesn't attempt (pattern/enum/length/date go to the scan)."""
+    if test_name == "nullable_test":
+        ok = value is not None
+    elif test_name == "min_max_test":
+        if value is None:
+            ok = True  # nulls never violate min_max (reference semantics)
+        elif isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        else:
+            mi, ma = mc.get("minimum"), mc.get("maximum")
+            ok = (mi is None or value >= mi) and (ma is None or value <= ma)
+    else:
+        return None
+    return {
+        "status": "pass" if ok else "fail",
+        "proven_violations": 0 if ok else n_rows,
+    }
+
+
+def _screen_partitions(
+    df: DataFrame,
+    metadata: Metadata,
+    partition_col: str,
+    table_path: str,
+    todo: list,
+    manifest: PartitionManifest,
+    lineage: Optional[dict],
+):
+    """Footer-screen each pending partition; record fully-proven ones in
+    the manifest and return (still_to_scan, n_proven).
+
+    A partition is proven only when EVERY spec the fused scan would
+    compute is decided (pass or fail) by its chunk statistics — a single
+    undecided test sends the whole partition to the scan, because the
+    grouped verdict aggregation is one plan for the whole batch and can't
+    drop specs per partition. Fail metrics record the stats-proven LOWER
+    BOUND on violations (exact for nullable null_counts; chunk-level for
+    min_max), marked ``proven_by_parquet_stats`` so log exploration can
+    tell footer verdicts from scan counts."""
+    from data_linter_spark.checks.stats_screen import (
+        PROVEN_KEY,
+        parquet_stats_screen,
+    )
+
+    plan = ConstraintPlan(df, metadata)
+    if not plan.specs:
+        return todo, 0
+    meta_by_col = {mc["name"]: mc for mc in metadata.columns}
+    dirs = _hive_partition_dirs(table_path, partition_col)
+    data_cols = sorted(
+        {s.col_name for s in plan.specs if s.col_name != partition_col}
+    )
+    remaining, n_proven = [], 0
+    for v in todo:
+        pid = partition_id_of(v)
+        part_dir = dirs.get(pid)
+        if part_dir is None:
+            remaining.append(v)
+            continue
+        screen = parquet_stats_screen(part_dir, metadata, columns=data_cols)
+        counters, all_decided = {}, True
+        for spec in plan.specs:
+            if spec.col_name == partition_col:
+                verdict = _judge_partition_value(
+                    v, meta_by_col[spec.col_name], spec.test_name,
+                    screen["rows"],
+                )
+            else:
+                verdict = (
+                    screen["columns"]
+                    .get(spec.col_name, {})
+                    .get(spec.test_name)
+                )
+            if not verdict or verdict["status"] not in ("pass", "fail"):
+                all_decided = False
+                break
+            counters[spec.alias] = int(verdict["proven_violations"])
+        if not all_decided:
+            remaining.append(v)
+            continue
+        manifest.record(
+            pid,
+            "pass" if all(c == 0 for c in counters.values()) else "fail",
+            {
+                "rows": int(screen["rows"]),
+                "violations": counters,
+                PROVEN_KEY: True,
+            },
+            lineage,
+        )
+        n_proven += 1
+    return remaining, n_proven
 
 
 def _run_global_checks(

@@ -321,3 +321,105 @@ def test_global_unique_screen_only_skips_exact_pass(spark, tmp_path, monkeypatch
     res2 = s2["global_checks"]["k.unique_test"]
     assert res2["valid"] is False and res2["duplicate_keys"] == 1
     assert "screen" in res2  # screen verdict recorded alongside
+
+
+# ---------------------------------------------------------------------------
+# footer-stats fast path in the partitioned loop (r4 verdict task 3)
+# ---------------------------------------------------------------------------
+
+STATS_META = {
+    "name": "tok",
+    "file_format": "parquet",
+    "columns": [
+        {"name": "src", "type": "int64", "nullable": False,
+         "minimum": 0, "maximum": 10},
+        {"name": "v", "type": "int64", "nullable": False,
+         "minimum": 0, "maximum": 100},
+    ],
+}
+
+
+def _write_hive_table(spark, path):
+    """4 partitions: src=0 clean (provable pass), src=1 all-nulls in v
+    (provable FAIL via null_count), src=2 straddles the max (footer
+    min<=100<max -> UNDECIDED, must scan), src=3 clean."""
+    rows = (
+        [(0, i % 90) for i in range(100)]
+        + [(1, None)] * 40
+        + [(2, i) for i in range(80, 120)]
+        + [(3, 5)] * 25
+    )
+    df = spark.createDataFrame(rows, "src long, v long")
+    (df.repartition("src").write.mode("overwrite")
+       .partitionBy("src").parquet(path))
+    return spark.read.parquet(path)
+
+
+def test_stats_fast_path_proves_and_skips(spark, tmp_path):
+    path = str(tmp_path / "hive")
+    df = _write_hive_table(spark, path)
+    meta = Metadata(STATS_META)
+
+    # ground truth: the ordinary full-scan run
+    m_scan = PartitionManifest(str(tmp_path / "m_scan"))
+    validate_partitioned(spark, df, meta, "src", m_scan)
+    truth = {
+        r["partition_id"]: (r["status"], r["metrics"]["rows"],
+                            r["metrics"]["violations"])
+        for r in m_scan.records()
+    }
+
+    m_fast = PartitionManifest(str(tmp_path / "m_fast"))
+    summary = validate_partitioned(
+        spark, df, meta, "src", m_fast, table_path=path
+    )
+    # 0, 1, 3 fully decided from footers; 2 straddles -> scanned
+    assert summary["partitions_proven_by_stats"] == 3
+    assert summary["partitions_validated"] == 1
+    fast = {r["partition_id"]: r for r in m_fast.records()}
+    for pid, (status, rows, viols) in truth.items():
+        assert fast[pid]["status"] == status, pid
+        assert fast[pid]["metrics"]["rows"] == rows, pid
+        # here every footer bound is exact (null_count fails), so the
+        # proven counters equal the scan counters verbatim
+        assert fast[pid]["metrics"]["violations"] == viols, pid
+    assert fast["1"]["metrics"]["proven_by_parquet_stats"] is True
+    assert fast["2"]["metrics"].get("proven_by_parquet_stats") is None
+
+
+def test_stats_fast_path_resume_treats_proven_as_done(spark, tmp_path):
+    path = str(tmp_path / "hive")
+    df = _write_hive_table(spark, path)
+    meta = Metadata(STATS_META)
+    m = PartitionManifest(str(tmp_path / "m"))
+    validate_partitioned(spark, df, meta, "src", m, table_path=path)
+    before = {r["partition_id"]: r["ts"] for r in m.records()}
+
+    summary = validate_partitioned(spark, df, meta, "src", m,
+                                   table_path=path)
+    assert summary["partitions_skipped_resume"] == 4
+    assert summary["partitions_proven_by_stats"] == 0
+    assert summary["partitions_validated"] == 0
+    after = {r["partition_id"]: r["ts"] for r in m.records()}
+    assert after == before  # nothing re-proven, nothing re-scanned
+
+
+def test_stats_fast_path_partition_col_constraint_from_value(spark, tmp_path):
+    """A constraint on the partition column itself is decided from the
+    partition VALUE (it has no footer entry in hive layout): max=2 makes
+    src=3 a proven FAIL covering every row, still without a scan."""
+    path = str(tmp_path / "hive")
+    df = _write_hive_table(spark, path)
+    meta_d = {**STATS_META, "columns": [
+        {**STATS_META["columns"][0], "maximum": 2},
+        STATS_META["columns"][1],
+    ]}
+    m = PartitionManifest(str(tmp_path / "m"))
+    summary = validate_partitioned(
+        spark, df, Metadata(meta_d), "src", m, table_path=path
+    )
+    assert summary["partitions_proven_by_stats"] == 3
+    recs = {r["partition_id"]: r for r in m.records()}
+    assert recs["3"]["status"] == "fail"
+    assert recs["3"]["metrics"]["violations"]["__viol__src__min_max_test"] == 25
+    assert recs["3"]["metrics"]["proven_by_parquet_stats"] is True

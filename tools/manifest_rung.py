@@ -1,0 +1,146 @@
+"""Measure the footer-stats fast path INSIDE the partitioned manifest loop
+(r4 verdict task 3) at a real rung.
+
+    python tools/manifest_rung.py [n_rows] [cpus]
+
+Materializes the synthetic tokens table hive-partitioned by ``source``
+(38 dirs, one hot at ~30% of rows — the north_rule's skewed column), then
+runs ``validate_partitioned`` twice over footer-decidable constraints
+(nullable + min_max on n_tok/tokens, partition-value bounds on source):
+
+- scan path: ignore footers, fused salted grouped aggregation per batch
+- fast path: ``table_path=`` set, every clean partition proven from
+  footers and skipped
+
+and appends a rung record to BENCH/ with both wall times, the speedup,
+and the per-path manifest agreement (statuses must be identical). Extends
+the single-table 1.74x footer-screen measurement to the checkpointed
+multi-partition path, where proven partitions skip the scan ENTIRELY
+rather than just pruning columns.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def rung_metadata() -> dict:
+    from data_linter_spark.tokens import MAX_TOK, VOCAB_SIZE
+
+    return {
+        "name": "tokens_hive",
+        "file_format": "parquet",
+        "columns": [
+            {"name": "doc_id", "type": "string", "nullable": False},
+            {
+                "name": "tokens",
+                "type": "list<int32>",
+                "minimum": 0,
+                "maximum": VOCAB_SIZE - 1,
+            },
+            {
+                "name": "n_tok",
+                "type": "int32",
+                "nullable": False,
+                "minimum": 1,
+                "maximum": MAX_TOK,
+            },
+            {"name": "source", "type": "string", "nullable": False},
+        ],
+    }
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    base = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/dev/shm/spark_graft")
+    os.makedirs(base, exist_ok=True)
+    table = os.path.join(base, f"tokens_hive_{n_rows}.parquet")
+
+    from data_linter_spark.manifest import PartitionManifest, validate_partitioned
+    from data_linter_spark.metadata import Metadata
+    from data_linter_spark.session import get_spark
+    from data_linter_spark.tokens import synthetic_tokens
+
+    spark = get_spark(app_name="manifest_rung", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    if not os.path.exists(table):
+        (
+            synthetic_tokens(spark, n_rows, n_partitions=256)
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(table)
+        )
+    mat_s = time.time() - t0
+    df = spark.read.parquet(table)
+    meta = Metadata(rung_metadata())
+
+    mdir = os.path.join(base, "manifest_rung_records")
+    results = {}
+    for label, kwargs in [
+        ("scan", {}),
+        ("fast", {"table_path": table}),
+    ]:
+        shutil.rmtree(mdir, ignore_errors=True)
+        m = PartitionManifest(mdir)
+        t0 = time.time()
+        summary = validate_partitioned(
+            spark, df, meta, "source", m, batch_size=64, **kwargs
+        )
+        wall = time.time() - t0
+        results[label] = {
+            "wall_s": round(wall, 3),
+            "proven": summary["partitions_proven_by_stats"],
+            "scanned": summary["partitions_validated"],
+            "all_passed": summary["all_passed"],
+            "statuses": {
+                r["partition_id"]: r["status"] for r in m.records()
+            },
+        }
+        print(f"{label}: {wall:.2f}s proven={summary['partitions_proven_by_stats']} "
+              f"scanned={summary['partitions_validated']}")
+
+    agree = results["scan"]["statuses"] == results["fast"]["statuses"]
+    rec = {
+        "kind": "manifest_rung",
+        "n_rows": n_rows,
+        "cpus": cpus,
+        "materialize_s": round(mat_s, 1),
+        "scan_wall_s": results["scan"]["wall_s"],
+        "fast_wall_s": results["fast"]["wall_s"],
+        "speedup": round(
+            results["scan"]["wall_s"] / results["fast"]["wall_s"], 2
+        ),
+        "partitions": len(results["scan"]["statuses"]),
+        "fast_proven": results["fast"]["proven"],
+        "fast_scanned": results["fast"]["scanned"],
+        "verdicts_identical": agree,
+        "ts": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    for k in ("statuses",):
+        pass  # statuses compared, not recorded (38 entries of noise)
+    out = os.path.join(
+        REPO, "BENCH",
+        f"manifest_rung_{n_rows}_"
+        f"{datetime.datetime.now():%Y-%m-%d_%H%M}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    if not agree:
+        sys.exit("FATAL: fast-path verdicts diverge from scan verdicts")
+
+
+if __name__ == "__main__":
+    main()
