@@ -146,9 +146,26 @@ def main() -> None:
     q.q_suite_lineitem(spark, "/root/testdata/sf0.001").collect()
 
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", 2))
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 measures a subset (per-query regression
+    # triage without paying the full suite); headline totals are only
+    # comparable across FULL runs, so the metric name is suffixed
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     per_query: dict[str, float] = {}
     for name, fn in q.queries().items():
+        if only and name not in only:
+            continue
         per_query[name] = round(time_query(fn, spark, sf_dir, trials=trials), 4)
+
+    if only:
+        total = sum(per_query.values())
+        print(json.dumps({
+            "metric": "headline_queries_subset_wall",
+            "value": round(total, 4), "unit": "sec",
+            "queries": per_query, "sf": sf, "cpus": int(cpus),
+        }))
+        return
 
     per_query["contamination_10x_broadcast"] = round(
         time_query(contamination_stress, spark, sf_dir, False, trials=trials), 4

@@ -368,14 +368,35 @@ def _screen_partitions(
     data_cols = sorted(
         {s.col_name for s in plan.specs if s.col_name != partition_col}
     )
+
+    # screen partitions CONCURRENTLY: the work is footer IO + pyarrow
+    # metadata decode (GIL-releasing), and at 100 TB a table has 10^4-10^5
+    # partitions — a sequential driver loop would serialize exactly the
+    # cost the fast path exists to avoid. Records still write in todo
+    # order below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    screenable = [v for v in todo if partition_id_of(v) in dirs]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        screens = dict(
+            zip(
+                (partition_id_of(v) for v in screenable),
+                pool.map(
+                    lambda v: parquet_stats_screen(
+                        dirs[partition_id_of(v)], metadata, columns=data_cols
+                    ),
+                    screenable,
+                ),
+            )
+        )
+
     remaining, n_proven = [], 0
     for v in todo:
         pid = partition_id_of(v)
-        part_dir = dirs.get(pid)
-        if part_dir is None:
+        screen = screens.get(pid)
+        if screen is None:
             remaining.append(v)
             continue
-        screen = parquet_stats_screen(part_dir, metadata, columns=data_cols)
         counters, all_decided = {}, True
         for spec in plan.specs:
             if spec.col_name == partition_col:

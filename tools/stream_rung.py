@@ -1,14 +1,27 @@
 """Structured-Streaming validation throughput rung.
 
     python tools/stream_rung.py [rows_per_sec_target] [seconds] [cpus]
+    python tools/stream_rung.py --split [offered] [seconds] [cpus]
 
-Drives the rate source at a target rows/sec through the SAME compiled
-constraint suite the batch engine runs (`stream_windowed_verdicts`: fused
-single-agg counters per tumbling window + watermark), into a noop-style
-foreachBatch sink, and reports the SUSTAINED processed-rows/sec from the
-query's own progress metrics (not the offered rate — if the pipeline
-can't keep up, processedRowsPerSecond is the honest number and
-`kept_up=false` flags it).
+Default mode drives the rate source at a target rows/sec through the SAME
+compiled constraint suite the batch engine runs
+(`stream_windowed_verdicts`: fused single-agg counters per tumbling window
++ watermark), into a noop-style foreachBatch sink, and reports the
+SUSTAINED processed-rows/sec from the query's own progress metrics (not
+the offered rate — if the pipeline can't keep up,
+processedRowsPerSecond is the honest number and `kept_up=false` flags it).
+
+``--split`` (r4 verdict task 8) explains the streaming-vs-batch gap by
+measuring CAPACITY (offered rate deliberately above what the box can do)
+at three cut points of the same pipeline:
+
+- ``generate_only``: rate source -> tokens-shape projection -> noop.
+  The synthetic-generation arithmetic floor — a real deployment reading
+  Kafka wouldn't pay it, the batch rungs don't either (they read parquet).
+- ``suite_stateless``: + the full fused constraint agg per micro-batch
+  (foreachBatch, no state store) — the suite's marginal cost.
+- ``windowed_state``: + event-time windows, watermark, state store
+  (the registered shape) — the state machinery's marginal cost.
 
 The rate source's (timestamp, value) is mapped to the tokens-table shape
 with the same executor-parallel arithmetic as `synthetic_tokens`, so the
@@ -21,6 +34,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -37,20 +51,10 @@ from data_linter_spark.streaming.validate_stream import (  # noqa: E402
 from data_linter_spark.tokens import MAX_TOK, tokens_metadata  # noqa: E402
 
 
-def main() -> None:
-    target = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 45
-    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    spark = get_spark(
-        app_name="stream_rung",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _tokens_stream(spark, offered: int, cpus: int):
     rate = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", target)
+        .option("rowsPerSecond", offered)
         .option("numPartitions", cpus)
         .load()
     )
@@ -59,7 +63,7 @@ def main() -> None:
     # constraints cost O(len), so a shorter stream array would make the
     # streaming numbers incomparably lighter than the batch rungs
     vid = F.col("value")
-    toks = rate.select(
+    return rate.select(
         F.col("timestamp").alias("ts"),
         F.concat(F.lit("doc-"), vid.cast("string")).alias("doc_id"),
         F.expr(
@@ -71,19 +75,12 @@ def main() -> None:
         .otherwise(F.concat(F.lit("source_"), (vid % 37).cast("string")))
         .alias("source"),
     )
-    out = stream_windowed_verdicts(
-        toks, Metadata(tokens_metadata(strict=True)), "ts",
-        window_duration="10 seconds", watermark="5 seconds",
-    )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("noop")
-        .option(
-            "checkpointLocation",
-            f"/tmp/stream_rung_ckpt_{os.getpid()}",
-        )
-        .start()
-    )
+
+
+def _measure(q, seconds: int) -> dict:
+    """Run an already-started query for ``seconds``, then fold its progress
+    metrics: sustained processed rows/sec over the post-ramp-up tail, and
+    whether processing kept pace with arrival."""
     t0 = time.time()
     while time.time() - t0 < seconds:
         time.sleep(2)
@@ -92,9 +89,6 @@ def main() -> None:
         for p in q.recentProgress
     ]
     q.stop()
-    spark.stop()
-
-    # drop the ramp-up batches: sustained = batches after the first third
     rates = [
         p["processedRowsPerSecond"]
         for p in progresses
@@ -116,26 +110,121 @@ def main() -> None:
         p["inputRowsPerSecond"] for p in tail_p if p.get("inputRowsPerSecond")
     ]
     arrival = sum(in_rates) / len(in_rates) if in_rates else 0.0
-    kept_up = bool(in_rates) and sustained >= 0.98 * arrival
+    return {
+        "batches": len(rates),
+        "total_rows": total_rows,
+        "sustained_processed_rows_per_sec": round(sustained),
+        "sustained_arrival_rows_per_sec": round(arrival),
+        "kept_up": bool(in_rates) and sustained >= 0.98 * arrival,
+    }
+
+
+def _ckpt(tag: str) -> str:
+    path = f"/tmp/stream_rung_ckpt_{os.getpid()}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _start_variant(spark, variant: str, offered: int, cpus: int):
+    toks = _tokens_stream(spark, offered, cpus)
+    meta = Metadata(tokens_metadata(strict=True))
+    if variant == "generate_only":
+        return (
+            toks.writeStream.format("noop")
+            .option("checkpointLocation", _ckpt(variant))
+            .start()
+        )
+    if variant == "suite_stateless":
+        from data_linter_spark.compiler import ConstraintPlan
+
+        # compile once against the stream schema; foreachBatch runs the
+        # SAME fused single-pass agg as the batch engine on each
+        # micro-batch — no state store, verdict counters per batch
+        exprs = ConstraintPlan(toks, meta).agg_exprs()
+
+        def _verdict_batch(batch_df, _epoch):
+            batch_df.agg(*exprs).collect()
+
+        return (
+            toks.writeStream.foreachBatch(_verdict_batch)
+            .option("checkpointLocation", _ckpt(variant))
+            .start()
+        )
+    if variant == "windowed_state":
+        out = stream_windowed_verdicts(
+            toks, meta, "ts",
+            window_duration="10 seconds", watermark="5 seconds",
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", _ckpt(variant))
+            .start()
+        )
+    raise ValueError(variant)
+
+
+def _write_record(rec: dict, tag: str = "stream_rung") -> None:
+    print(json.dumps(rec))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"{tag}_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--split"]
+    split = "--split" in sys.argv[1:]
+    target = int(args[0]) if len(args) > 0 else (4_000_000 if split else 2_000_000)
+    seconds = int(args[1]) if len(args) > 1 else 45
+    cpus = int(args[2]) if len(args) > 2 else 32
+    spark = get_spark(
+        app_name="stream_rung",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if split:
+        stages = {}
+        for variant in ("generate_only", "suite_stateless", "windowed_state"):
+            q = _start_variant(spark, variant, target, cpus)
+            stages[variant] = _measure(q, seconds)
+            time.sleep(3)  # let executors drain between variants
+        gen = stages["generate_only"]["sustained_processed_rows_per_sec"]
+        suite = stages["suite_stateless"]["sustained_processed_rows_per_sec"]
+        state = stages["windowed_state"]["sustained_processed_rows_per_sec"]
+        rec = {
+            "workload": "capacity split: rate->generate | +fused suite "
+            "(foreachBatch, stateless) | +windowed state (registered shape)",
+            "offered_rows_per_sec": target,
+            "duration_sec_per_variant": seconds,
+            "cpus": cpus,
+            "stages": stages,
+            # per-row marginal cost in ns, from capacity deltas
+            "ns_per_row_generate": round(1e9 / gen, 1),
+            "ns_per_row_suite_marginal": round(1e9 / suite - 1e9 / gen, 1),
+            "ns_per_row_state_marginal": round(1e9 / state - 1e9 / suite, 1),
+            "loadavg": round(os.getloadavg()[0], 2),
+        }
+        _write_record(rec, tag="stream_split")
+        spark.stop()
+        return
+
+    q = _start_variant(spark, "windowed_state", target, cpus)
+    m = _measure(q, seconds)
+    spark.stop()
     rec = {
         "workload": "rate-source -> full fused suite in 10s tumbling "
         "windows (watermarked) -> noop sink",
         "offered_rows_per_sec": target,
         "duration_sec": seconds,
         "cpus": cpus,
-        "batches": len(rates),
-        "total_rows": total_rows,
-        "sustained_processed_rows_per_sec": round(sustained),
-        "sustained_arrival_rows_per_sec": round(arrival),
-        "kept_up": kept_up,
+        **m,
         "loadavg": round(os.getloadavg()[0], 2),
     }
-    print(json.dumps(rec))
-    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
-    dest = os.path.join(REPO, "BENCH", f"stream_rung_{stamp}.json")
-    with open(dest, "w") as fh:
-        json.dump(rec, fh, indent=1)
-    print("wrote", dest)
+    _write_record(rec)
 
 
 if __name__ == "__main__":
