@@ -183,8 +183,23 @@ def pack_sequences_skew_safe(
     4. Broadcast the offset table back onto the local cumsums; global
        ``cum_end = local_cum_end + offset``.
 
-    The range exchange feeds both (2) and (3), so Spark reuses the
-    shuffle files (ReusedExchange) instead of scanning the input twice."""
+    The ranged relation is PERSISTED before branching, and this is a
+    CORRECTNESS requirement, not a cache optimization: steps (2) and (3)
+    both consume it, and ``RangePartitioner`` samples its bounds with a
+    per-execution seed (derived from the RDD id), so two independent
+    executions of the same range exchange produce DIFFERENT partition
+    layouts. The offsets join keys on ``spark_partition_id()``; if the
+    totals branch and the cumsum branch execute the exchange separately,
+    their pids describe different partitionings and the joined offsets
+    are garbage — observed as non-dense window seq_ids and
+    ``max(cum_end) != sum(n_tok)`` whenever Catalyst planned the two
+    branches' exchanges differently (with ``carry_cols`` present, column
+    pruning strips the carried arrays from the totals branch only, the
+    exchanges stop canonical-matching, and AQE's ReusedExchange no longer
+    unifies them). The persisted relation pins ONE materialized
+    partitioning that both branches read; the caller releases it via
+    :func:`~data_linter_spark.functions.dedup.release_persisted` after
+    materializing the result."""
     if check_order_unique:
         _assert_order_unique(df, group_col, order_col)
     spark = df.sparkSession
@@ -198,9 +213,13 @@ def pack_sequences_skew_safe(
         .alias(n_tok_col),
         *carry_cols,
     )
-    ranged = base.repartitionByRange(
-        n_parts, F.col(group_col), F.col(order_col)
-    ).withColumn("__pid", F.spark_partition_id())
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        base.repartitionByRange(n_parts, F.col(group_col), F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # (3) per-(pid, group) totals -> prefix offsets; one row per
     # partition×group touched, so driver-small by construction.
@@ -284,8 +303,14 @@ def pack_sequences_skew_safe(
             ).cast("long"),
         )
     )
-    return _finalize(
-        assigned, group_col, order_col, n_tok_col, context_len, carry_cols
+    from data_linter_spark.functions.dedup import _track_persisted
+
+    return _track_persisted(
+        _finalize(
+            assigned, group_col, order_col, n_tok_col, context_len,
+            carry_cols,
+        ),
+        [ranged],
     )
 
 
@@ -358,7 +383,7 @@ def pack_windows(
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("__start"), F.col("__c.chunk")))
     )
-    return (
+    out = (
         chunks.groupBy(group_col, F.col("__c.seq_id").alias("seq_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -373,6 +398,13 @@ def pack_windows(
             F.size("tokens").cast("long").alias("n_tokens"),
             "tokens",
         )
+    )
+    # propagate the assignment's pinned ranged relation so callers can
+    # release_persisted(windows) after materializing
+    from data_linter_spark.functions.dedup import _track_persisted
+
+    return _track_persisted(
+        out, getattr(assigned, "_dls_persisted", None) or []
     )
 
 

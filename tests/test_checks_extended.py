@@ -1399,3 +1399,54 @@ def test_incremental_exact_dedup_null_text_and_full_schema(spark):
     kept2, _ = incremental_exact_dedup(b2, store, "id", "text")
     assert [r["id"] for r in kept2.collect()] == [11]
     assert release_persisted(kept2) == 1
+
+
+def test_pack_windows_carry_offsets_consistent_at_multipartition_scale(spark):
+    """Regression (r5): the skew-safe assignment's offset table keys on
+    spark_partition_id(), and with carry_cols present Catalyst pruned the
+    carried array out of the totals branch only — the two range exchanges
+    stopped canonical-matching, executed separately with DIFFERENT sampled
+    bounds (RangePartitioner seeds by rdd id), and the joined offsets were
+    garbage: non-dense seq_ids, max(cum_end) != sum(n_tok), varying per
+    run. The fix pins ONE materialized ranged relation (persist) that both
+    branches read. This test drives pack_windows at a scale where groups
+    span many range partitions and asserts the invariants the bug broke,
+    plus the pinned-cache plan shape."""
+    from pyspark.sql import functions as F
+
+    from data_linter_spark.functions.packing import pack_windows
+
+    docs = spark.range(0, 400_000, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+        F.expr(
+            "transform(sequence(1, cast(id % 19 as int) + 1), "
+            "i -> cast((id + i) % 997 as int))"
+        ).alias("tokens"),
+    )
+    total_tokens = sum((i % 19) + 1 for i in range(400_000))
+    w = pack_windows(
+        docs, "source", "doc_id", "tokens", 512, num_partitions=16
+    )
+    agg = w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("seq_id").alias("nd"),
+        F.min("seq_id").alias("mn"),
+        F.max("seq_id").alias("mx"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum(
+            F.when(F.col("n_tokens") != 512, 1).otherwise(0)
+        ).alias("non_full"),
+    ).collect()
+    assert sum(r["toks"] for r in agg) == total_tokens
+    for r in agg:
+        # dense seq_ids from 0, at most one short (final) window per group
+        assert r["mn"] == 0, r
+        assert r["nd"] == r["n"], r
+        assert r["mx"] == r["n"] - 1, r
+        assert r["non_full"] <= 1, r
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the pinned ranged relation
+    from data_linter_spark.functions.dedup import release_persisted
+
+    assert release_persisted(w) == 1

@@ -128,11 +128,13 @@ CHECKS = {
     },
     "pack_sequences": {
         # two-phase skew-safe prefix sum: ONE full-data shuffle (the range
-        # exchange, reused by the totals branch), Arrow local cumsum, no
-        # per-group single-task window sort; heavy text/lang never read
+        # exchange, PERSISTED so the totals branch and the cumsum branch
+        # read one pinned partitioning — a correctness requirement, see
+        # pack_sequences_skew_safe), Arrow local cumsum, no per-group
+        # single-task window sort; heavy text/lang never read
         "range_exchange": lambda p: "rangepartitioning" in p.lower(),
         "arrow_local_cumsum": lambda p: "MapInPandas" in p,
-        "reused_exchange": lambda p: "ReusedExchange" in p,
+        "pinned_ranged_cache": lambda p: "InMemoryTableScan" in p,
         "no_group_window_sort": lambda p: "Window" not in p
         or "__part_total" in p,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
@@ -140,6 +142,7 @@ CHECKS = {
     "pack_sequence_sums": {
         "range_exchange": lambda p: "rangepartitioning" in p.lower(),
         "arrow_local_cumsum": lambda p: "MapInPandas" in p,
+        "pinned_ranged_cache": lambda p: "InMemoryTableScan" in p,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
     "repetition_signals": {
@@ -174,9 +177,12 @@ CHECKS = {
     },
     "pack_windows": {
         # token arrays ride the assignment's single range exchange
-        # (carry_cols) — no corpus re-join to fetch them back
+        # (carry_cols) — no corpus re-join to fetch them back; the cache
+        # pin matters MOST here (carry pruning is what de-unified the
+        # branch exchanges and corrupted offsets before the pin)
         "range_exchange": lambda p: "rangepartitioning" in p.lower(),
         "arrow_local_cumsum": lambda p: "MapInPandas" in p,
+        "pinned_ranged_cache": lambda p: "InMemoryTableScan" in p,
         "no_corpus_rejoin": lambda p: "SortMergeJoin" not in p,
         "prunes_text": lambda p: "lang" not in p,
     },

@@ -1,0 +1,161 @@
+"""Line-level corpus dedup (C4/CCNet) at a big exploded-line count — the
+groupBy(line_key) + anti-join shuffle is the piece no small test exercises
+(r4 verdict task 7).
+
+    python tools/lines_rung.py [n_docs] [cpus] [--force-shuffle]
+
+Generates documents on executors (no input data, deterministic):
+
+- doc i carries 20 + i%10 UNIQUE lines (md5-mixed content — unique lines
+  must never be removed),
+- 3 BOILERPLATE lines present in EVERY doc (the hot keys: each appears in
+  100% of docs, the exact skew shape of real nav/cookie/footer text),
+- docs with i%100 in {0,1} share one PAIR line with their neighbour —
+  present in exactly 2 docs, sitting right AT the min_docs=2 threshold.
+
+So expected removals are exact and closed-form: every doc loses its 3
+boilerplate lines, pair docs lose one more, unique lines all survive.
+The rung asserts all of it inside the job (counts, removal distribution,
+zero surviving boilerplate/pair substrings) and records wall + stage
+times to BENCH/.
+
+``--force-shuffle`` sets ``max_broadcast_lines=1`` so the dup-line
+relation takes the shuffle anti-join fallback — the path a pathological
+corpus (dup vocabulary > broadcast ceiling) would take; committed so the
+fallback's cost at 10^8 lines is a measured number, not a guess.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.lines import dedup_lines  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+BOILER = [
+    "home | about | contact | careers | press",
+    "we use cookies to improve your experience. accept all?",
+    "(c) example corp. all rights reserved. terms of service apply.",
+]
+
+
+def synthetic_lined_documents(spark, n_docs: int, n_partitions: int):
+    """Deterministic doc generator with known line-level duplication (see
+    module docstring). md5-mixed unique lines: a linear formula would make
+    nearby docs share lines arithmetically and break 'unique lines are
+    unique' (same trap as the near-dup generator's word mixing)."""
+    rng = spark.range(0, n_docs, 1, n_partitions)
+    uniq = (
+        "transform(sequence(0, 19 + cast(id % 10 as int)), "
+        "j -> concat('u', substring(md5(concat(cast(id as string), '-', "
+        "cast(j as string))), 1, 16)))"
+    )
+    pair = (
+        "case when id % 100 < 2 then "
+        "array(concat('pairline-', cast(id div 100 as string))) "
+        "else array() end"
+    )
+    b = ", ".join(f"'{s}'" for s in BOILER)
+    # boilerplate interleaved at head/middle/tail, pair line (if any) after
+    # the first unique line — removal must preserve the SURVIVORS' order
+    text = (
+        f"array_join(concat(array('{BOILER[0]}'), slice({uniq}, 1, 1), "
+        f"{pair}, array('{BOILER[1]}'), "
+        f"slice({uniq}, 2, 1000), array('{BOILER[2]}')), '\\n')"
+    )
+    return rng.select(
+        F.col("id").alias("doc_id"), F.expr(text).alias("text")
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--force-shuffle"]
+    force_shuffle = "--force-shuffle" in sys.argv[1:]
+    n_docs = int(args[0]) if len(args) > 0 else 4_000_000
+    cpus = int(args[1]) if len(args) > 1 else 32
+    spark = get_spark(
+        app_name=f"lines_rung_{n_docs}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synthetic_lined_documents(spark, n_docs, cpus * 8)
+    n_pair_docs = sum(1 for i in range(0, n_docs, 100) for k in (0, 1) if i + k < n_docs)
+    total_unique = sum(20 + i % 10 for i in range(n_docs))
+    total_lines = total_unique + 3 * n_docs + n_pair_docs
+
+    t0 = time.perf_counter()
+    cleaned = dedup_lines(
+        docs, "doc_id", "text", min_docs=2,
+        max_broadcast_lines=1 if force_shuffle else 20_000_000,
+    )
+    agg = cleaned.agg(
+        F.count(F.lit(1)).alias("n_docs_out"),
+        F.sum("n_lines").cast("long").alias("lines_in"),
+        F.sum("n_lines_removed").cast("long").alias("removed"),
+        F.sum(
+            F.when(F.col("n_lines_removed") == 3, 1).otherwise(0)
+        ).cast("long").alias("docs_removed_3"),
+        F.sum(
+            F.when(F.col("n_lines_removed") == 4, 1).otherwise(0)
+        ).cast("long").alias("docs_removed_4"),
+        F.sum(
+            F.when(
+                F.col("text").contains("cookies")
+                | F.col("text").contains("pairline-"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("contaminated_out"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+
+    checks = {
+        "n_docs_out": (agg["n_docs_out"], n_docs),
+        "lines_in": (agg["lines_in"], total_lines),
+        "removed": (agg["removed"], 3 * n_docs + n_pair_docs),
+        "docs_removed_3": (agg["docs_removed_3"], n_docs - n_pair_docs),
+        "docs_removed_4": (agg["docs_removed_4"], n_pair_docs),
+        "contaminated_out": (agg["contaminated_out"], 0),
+    }
+    ok = all(got == want for got, want in checks.values())
+    rec = {
+        "workload": "posexplode -> md5 line keys -> groupBy(line_key) "
+        "count-distinct-docs -> "
+        + ("SHUFFLE anti-join (forced fallback)" if force_shuffle
+           else "broadcast anti-join")
+        + " -> order-preserving reassembly",
+        "n_docs": n_docs,
+        "exploded_lines": total_lines,
+        "cpus": cpus,
+        "wall_sec": round(wall, 1),
+        "lines_per_sec": round(total_lines / wall),
+        "docs_per_sec": round(n_docs / wall),
+        "checks": {k: {"got": int(g), "want": int(w)} for k, (g, w) in checks.items()},
+        "all_checks_pass": ok,
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    tag = "shuffle" if force_shuffle else "broadcast"
+    dest = os.path.join(
+        REPO, "BENCH", f"lines_rung_{n_docs}_{tag}_{stamp}.json"
+    )
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+    if not ok:
+        sys.exit("FATAL: line-dedup self-checks failed at rung scale")
+
+
+if __name__ == "__main__":
+    main()

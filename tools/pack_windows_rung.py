@@ -1,0 +1,170 @@
+"""pack_windows -> write_packed_dataset -> verify roundtrip at the 500M-row
+rung (r4 verdict task 7): the materialized-tensor path — token arrays riding
+the range shuffle as carry columns, map-side slicing, window reassembly,
+hive-partitioned sorted sink, read-back audit — measured end to end.
+
+    python tools/pack_windows_rung.py [n_rows] [cpus] [avg_tokens]
+
+Token volume is the box's binding constraint, not row count: 500M docs at
+the tokens table's ~99-token average is ~200 GB of raw token data — more
+than this host's disk+tmpfs. The rung therefore keeps the ROW count at the
+full 500M (that is what stresses the two-phase prefix sum, the chunk
+explode, and the window groupBy) and caps the per-doc array at
+1..2*avg_tokens-1 elements (default avg 10 -> ~20 GB of tokens, ~2.4M
+windows of 2048). Per-window and per-task state is bounded by
+``context_len`` regardless of array length, so shorter docs change only
+total IO volume, not the memory shape being proven. Self-checks run
+INSIDE the job:
+
+- write_packed_dataset's own density check (seq_ids dense from 0/group),
+- verify_packed_dataset: read-back counts, token totals, checksums vs the
+  manifest,
+- token conservation: sum of window n_tokens == sum of input array sizes,
+- window sizing: every non-final window exactly context_len tokens.
+
+Writes one JSON record to BENCH/ and deletes the sink afterwards.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.packing import (  # noqa: E402
+    pack_windows,
+    verify_packed_dataset,
+    write_packed_dataset,
+)
+from data_linter_spark.session import get_spark  # noqa: E402
+
+CONTEXT_LEN = 2048
+
+
+def short_docs(spark, n_rows: int, avg_tokens: int, n_partitions: int):
+    """Executor-parallel deterministic docs: 1..2*avg-1 tokens each (mean
+    avg_tokens), 30% hot source (north-rule skew), token values id-mixed."""
+    rng = spark.range(0, n_rows, 1, n_partitions)
+    vid = F.col("id")
+    n_tok = (vid % (2 * avg_tokens - 1)) + 1
+    return rng.select(
+        vid.alias("doc_id"),
+        F.expr(
+            f"transform(sequence(1, cast(id % {2 * avg_tokens - 1} as int) + 1), "
+            "i -> cast((id * 31 + i * 7) % 50257 as int))"
+        ).alias("tokens"),
+        F.when(vid % 100 < 30, F.lit("common_crawl"))
+        .otherwise(F.concat(F.lit("source_"), (vid % 37).cast("string")))
+        .alias("source"),
+        n_tok.cast("long").alias("__expect_n_tok"),
+    )
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    avg_tokens = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(
+        app_name=f"pack_windows_rung_{n_rows}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/dev/shm/spark_graft")
+    sink = os.path.join(base, f"packed_rung_{n_rows}")
+
+    docs = short_docs(spark, n_rows, avg_tokens, cpus * 8)
+    # closed form over i in [0, n): n_tok(i) = i % (2a-1) + 1
+    m = 2 * avg_tokens - 1
+    full, rem = divmod(n_rows, m)
+    expect_tokens = full * (m * (m + 1) // 2) + rem * (rem + 1) // 2
+
+    t0 = time.perf_counter()
+    windows = pack_windows(
+        docs.select("source", "doc_id", "tokens"),
+        "source", "doc_id", "tokens", CONTEXT_LEN,
+        num_partitions=cpus * 4,
+    )
+    manifest = write_packed_dataset(
+        windows, sink, "source", CONTEXT_LEN, windows_per_file=65536
+    )
+    t_write = time.perf_counter() - t0
+
+    verify_packed_dataset(spark, sink)  # raises on any integrity failure
+    # extra invariants over the written sink, one fused scan
+    agg = (
+        spark.read.parquet(sink)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("toks"),
+            F.max("seq_id").alias("max_seq"),
+            F.sum(
+                F.when(F.col("n_tokens") != CONTEXT_LEN, 1).otherwise(0)
+            ).cast("long").alias("non_full"),
+        )
+        .collect()
+    )
+    t_verify = time.perf_counter() - t0 - t_write
+    wall = time.perf_counter() - t0
+
+    got_tokens = sum(r["toks"] for r in agg)
+    # each group may have ONE short (final) window at most
+    bad_nonfull = [r["source"] for r in agg if r["non_full"] > 1]
+    n_windows = sum(g["n_windows"] for g in manifest["groups"].values())
+    checks = {
+        "token_conservation": got_tokens == expect_tokens,
+        "at_most_one_short_window_per_group": not bad_nonfull,
+        "groups": len(agg) == 38,
+    }
+    ok = all(checks.values())
+    sink_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(sink)
+        for f in fs
+    )
+    rec = {
+        "workload": "generate -> pack_windows (arrays as carry cols, one "
+        "range shuffle) -> hive/sorted sink (maxRecordsPerFile) -> "
+        "manifest + read-back verify",
+        "rows": n_rows,
+        "avg_tokens_per_doc": avg_tokens,
+        "total_tokens": expect_tokens,
+        "cpus": cpus,
+        "context_len": CONTEXT_LEN,
+        "n_groups": len(agg),
+        "n_windows": n_windows,
+        "sink_gb": round(sink_bytes / 1e9, 2),
+        "checks": checks,
+        "all_checks_pass": ok,
+        "wall_sec": round(wall, 1),
+        "stage_sec": {
+            "pack_and_write": round(t_write, 1),
+            "verify_and_audit": round(t_verify, 1),
+        },
+        "rows_per_sec": round(n_rows / wall),
+        "tokens_per_sec": round(expect_tokens / wall),
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    shutil.rmtree(sink, ignore_errors=True)
+    if not ok:
+        sys.exit("FATAL: pack_windows roundtrip checks failed: " + json.dumps(checks))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(
+        REPO, "BENCH", f"pack_windows_rung_{n_rows}_{stamp}.json"
+    )
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
