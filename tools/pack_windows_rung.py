@@ -75,9 +75,16 @@ def main() -> None:
     spark = get_spark(
         app_name=f"pack_windows_rung_{n_rows}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 4,
+        shuffle_partitions=cpus * 8,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # smaller Arrow rounds through the python runner: at 500M rows a
+    # 32-task × multi-GB-partition configuration froze in Spark's
+    # python-runner socket flow control under memory pressure (JVM reader
+    # select-parked, worker blocked in tcp_sendmsg); shorter batches and
+    # more, smaller partitions keep each round well inside socket/memory
+    # budgets
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4000")
     base = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/dev/shm/spark_graft")
     sink = os.path.join(base, f"packed_rung_{n_rows}")
 
@@ -91,7 +98,7 @@ def main() -> None:
     windows = pack_windows(
         docs.select("source", "doc_id", "tokens"),
         "source", "doc_id", "tokens", CONTEXT_LEN,
-        num_partitions=cpus * 4,
+        num_partitions=cpus * 16,
     )
     manifest = write_packed_dataset(
         windows, sink, "source", CONTEXT_LEN, windows_per_file=65536
