@@ -376,17 +376,20 @@ def _screen_partitions(
     # order below.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _screen(v):
+        try:
+            return parquet_stats_screen(
+                dirs[partition_id_of(v)], metadata, columns=data_cols
+            )
+        except FileNotFoundError:
+            return None  # empty/garbage dir: not screenable, scan decides
+
     screenable = [v for v in todo if partition_id_of(v) in dirs]
     with ThreadPoolExecutor(max_workers=16) as pool:
         screens = dict(
             zip(
                 (partition_id_of(v) for v in screenable),
-                pool.map(
-                    lambda v: parquet_stats_screen(
-                        dirs[partition_id_of(v)], metadata, columns=data_cols
-                    ),
-                    screenable,
-                ),
+                pool.map(_screen, screenable),
             )
         )
 
