@@ -1,0 +1,236 @@
+"""Substring-level (token n-gram) exact dedup — the "repeated spans" family.
+
+Document-level dedup (exact / MinHash / SimHash, ``functions/dedup.py``)
+misses the other big contamination mode in web-scale training corpora:
+*short exact spans* repeated across otherwise-distinct documents (boiler-
+plate, license headers, navigation chrome, quoted passages). Lee et al.
+2022 ("Deduplicating Training Data Makes Language Models Better") remove
+exact substrings of >= 50 tokens with a suffix array; a suffix array is a
+single-machine structure, so this module re-expresses the semantics
+Spark-first over the canonical tokens table
+``(doc_id string, tokens array<int32>, n_tok int, source string)``:
+
+1. ``ngram_keys``     — map-side: per doc, the key of every length-``n``
+                        token window (JVM ``transform``/``slice``, no
+                        Python, no shuffle).
+2. ``duplicate_ngram_screen`` — which n-grams appear in >= ``min_docs``
+                        distinct docs. Two partial-aggregated shuffles,
+                        both skew-safe (see docstring).
+3. ``remove_duplicate_spans`` — corpus with every duplicated window
+                        blanked out of ``tokens``, rebuilt MAP-SIDE per
+                        doc (interval union as JVM array ops — the corpus
+                        is never posexploded or reassembled by shuffle).
+
+Reference parity note: the reference (moj-analytical-services/data_linter)
+has no substring operator — this is part of the LLM-pipeline gap-filler
+surface (SURVEY.md §2.9/§6), modeled on Lee et al. 2022 and the C4/CCNet
+line-dedup lineage (``functions/lines.py`` is the line-level sibling).
+
+Key modes
+---------
+``key="content"`` (default): the gram key is the literal token window
+rendered ``"t0-t1-...-t{n-1}"``. Exact — zero collision risk — and a
+DuckDB oracle can compute the identical key (tests do). The key is wider
+than a hash, so the screen shuffle carries more bytes.
+
+``key="hash"``: the key is ``struct(xxhash64(slice), murmur3(slice))`` —
+96 independent bits, computed JVM-side. At 10^13 grams (100 TB) a single
+64-bit key expects birthday collisions (~sqrt(2^64) ≈ 4.3e9 grams);
+the 96-bit pair pushes the expected first collision past 10^14 grams.
+This is the scale path; content mode is the oracle/verification path.
+Both modes produce identical screen COUNTS on collision-free inputs —
+``tests/test_spans.py`` asserts it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.dedup import _track_persisted
+
+__all__ = [
+    "ngram_keys",
+    "duplicate_ngram_screen",
+    "remove_duplicate_spans",
+]
+
+
+def _gram_key_expr(n: int, key: str, tokens_col: str) -> Column:
+    """Array of per-start gram keys (position i -> key of tokens[i..i+n-1]).
+
+    JVM-only: ``transform`` over ``sequence(0, n_tok - n)`` with ``slice``.
+    Cost is O(n_tok * n) token touches instead of a rolling hash's
+    O(n_tok) — Spark has no declarative prefix-scan, and a Pandas-UDF
+    rolling hash would trade whole-stage codegen for Arrow transfer of the
+    full token payload; for the n <= 16 this screen targets, the slice
+    form stays fused into the scan stage and never leaves the JVM.
+    """
+    starts = F.when(
+        F.col("n_tok") >= n,
+        F.sequence(F.lit(0), F.col("n_tok") - n),
+    ).otherwise(F.array().cast("array<int>"))
+    tok = F.col(tokens_col)
+    if key == "content":
+        make = lambda i: F.array_join(F.slice(tok, i + 1, n), "-")  # noqa: E731
+    elif key == "hash":
+        make = lambda i: F.struct(  # noqa: E731
+            F.xxhash64(F.slice(tok, i + 1, n)).alias("h1"),
+            F.hash(F.slice(tok, i + 1, n)).alias("h2"),
+        )
+    else:
+        raise ValueError(f"key must be 'content' or 'hash', got {key!r}")
+    return F.transform(starts, make)
+
+
+def ngram_keys(
+    df: DataFrame,
+    n: int,
+    key: str = "content",
+    tokens_col: str = "tokens",
+    out_col: str = "gram_keys",
+) -> DataFrame:
+    """Add ``out_col``: the gram key of every length-``n`` window.
+
+    Pure map-side projection (no shuffle, no Python); a doc with
+    ``n_tok < n`` gets an empty array. Requires an ``n_tok`` column (the
+    canonical tokens schema has one; derive with ``size(tokens)`` if not).
+    """
+    return df.withColumn(out_col, _gram_key_expr(n, key, tokens_col))
+
+
+def duplicate_ngram_screen(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    key: str = "content",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """N-grams of ``n`` tokens appearing in >= ``min_docs`` distinct docs.
+
+    Returns ``(gram, n_docs, n_occurrences)`` — ``n_docs`` = distinct
+    documents containing the gram, ``n_occurrences`` = total occurrences
+    corpus-wide (in-doc repeats counted).
+
+    Scale shape (the 100-TB question):
+    - Stage 1 is map-side gram emission fused into the parquet scan.
+    - Stage 2 ``groupBy(gram, doc_id)`` — partial (map-side) aggregation
+      collapses in-doc repeats BEFORE the exchange, and the composite key
+      spreads even a degenerate hot gram (e.g. an all-padding window in
+      millions of docs) across partitions: no skew hotspot.
+    - Stage 3 ``groupBy(gram)`` re-aggregates the already-collapsed
+      (gram, doc) rows; partial aggregation again means the hot gram
+      arrives at its reducer as one partial row per upstream partition,
+      never as raw occurrences. No countDistinct/expand plan.
+    Both shuffles carry only (key, two longs).
+    """
+    grams = ngram_keys(df, n, key=key, tokens_col=tokens_col, out_col="__g")
+    exploded = grams.select(
+        F.col(id_col).alias("__doc"), F.explode("__g").alias("gram")
+    )
+    per_doc = exploded.groupBy("gram", "__doc").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    key: str = "content",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    dup_grams: Optional[DataFrame] = None,
+    max_broadcast_docs: Optional[int] = 20_000_000,
+) -> DataFrame:
+    """Blank every duplicated window out of ``tokens`` (Lee et al. 2022
+    semantics at window granularity): a position is removed iff it is
+    covered by ANY length-``n`` window whose gram appears in >=
+    ``min_docs`` distinct docs.
+
+    Returns the full corpus with ``tokens`` / ``n_tok`` rewritten plus
+    ``n_removed`` (tokens dropped; 0 for untouched docs). Doc rows are
+    never dropped — a fully-boilerplate doc comes back with an empty
+    token array, letting a downstream length filter make the drop call.
+
+    Scale shape:
+    - Duplicated-gram set from ``duplicate_ngram_screen`` (or a
+      precomputed ``dup_grams`` — e.g. yesterday's store).
+    - ``left_semi`` of the exploded (doc, pos, gram) stream against the
+      dup set: semi-join fans NOTHING out (each gram row matches at most
+      once), so a hot boilerplate gram cannot explode the join.
+    - ``groupBy(doc).collect_list(pos)`` over ONLY the hit stream — the
+      shuffle is sized by duplicated positions, not the corpus.
+    - The per-doc start list joins back to the corpus broadcast-or-
+      shuffle guarded (same byte-aware pattern as ``apply_dedup``), and
+      the rewrite is PURE JVM array arithmetic in the map stage:
+      interval union via ``transform``+``flatten``+``array_distinct``,
+      position filter via the two-arg ``filter`` lambda. The corpus is
+      never posexploded and never reassembled by shuffle (contrast
+      ``dedup_lines``, which must reassemble because lines change size).
+    """
+    if dup_grams is None:
+        dup_grams = duplicate_ngram_screen(
+            df, n=n, min_docs=min_docs, key=key,
+            id_col=id_col, tokens_col=tokens_col,
+        )
+    dup_keys = dup_grams.select("gram")
+
+    grams = ngram_keys(df, n, key=key, tokens_col=tokens_col, out_col="__g")
+    hits = (
+        grams.select(
+            F.col(id_col), F.posexplode("__g").alias("__pos", "gram")
+        )
+        .join(dup_keys, on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__dup_starts"))
+    )
+
+    persisted = []
+    use_broadcast = True
+    if max_broadcast_docs is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(hits)
+        n_hit_docs = hits.limit(max_broadcast_docs + 1).count()
+        use_broadcast = n_hit_docs <= max_broadcast_docs
+    right = F.broadcast(hits) if use_broadcast else hits
+
+    joined = df.join(right, on=id_col, how="left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("__dup_starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    new_tokens = F.filter(
+        F.col(tokens_col),
+        lambda _x, i: ~F.array_contains(F.col("__covered"), i),
+    )
+    out = (
+        joined.withColumn("__covered", covered)
+        .withColumn("__new_tokens", new_tokens)
+        .select(
+            *[c for c in df.columns if c not in (tokens_col, "n_tok")],
+            F.col("__new_tokens").alias(tokens_col),
+            F.size("__new_tokens").cast("int").alias("n_tok"),
+            (F.size(tokens_col) - F.size("__new_tokens"))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+    return _track_persisted(out, persisted)

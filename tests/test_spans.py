@@ -1,0 +1,199 @@
+"""Substring-level (token n-gram) dedup — ``functions/spans.py``.
+
+Verification strategy (the query registry is pinned at the driver's
+50-query cap, so this family is oracled HERE): the deterministic tokens
+table is derived from the sf0.001 documents parquet by pure arithmetic
+(``tokens.TOKENS_SQL_CTE``), and DuckDB recomputes the screen and the
+span-removal output from the same parquet with the same gram
+construction — exact row-for-row comparison, no tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.spans import (
+    duplicate_ngram_screen,
+    ngram_keys,
+    remove_duplicate_spans,
+)
+from data_linter_spark.tokens import TOKENS_SQL_CTE, tokens_from_documents
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+N = 8
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con.sql(sql).fetchall()
+
+
+_GRAMS_CTE = f"""
+WITH {TOKENS_SQL_CTE},
+grams AS (
+    SELECT doc_id, i,
+           array_to_string(tokens[i + 1 : i + {N}], '-') AS gram
+    FROM tokens_tbl, UNNEST(range(0, n_tok - {N} + 1)) AS t(i)
+    WHERE n_tok >= {N}
+)
+"""
+
+
+def test_screen_matches_duckdb(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    got = sorted(
+        tuple(r)
+        for r in duplicate_ngram_screen(toks, n=N, min_docs=2).collect()
+    )
+    want = sorted(
+        _oracle(
+            _GRAMS_CTE
+            + """
+, per_doc AS (
+    SELECT gram, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY 1 HAVING count(*) >= 2
+"""
+        )
+    )
+    assert len(got) > 0, "sf0.001 corpus should contain duplicated grams"
+    assert got == want
+
+
+def test_hash_mode_same_counts(spark):
+    """96-bit hash keys partition grams identically to content keys on a
+    collision-free corpus: same dup-gram count, same doc/occurrence sums."""
+    toks = tokens_from_documents(spark, SF_DIR)
+
+    def agg(key):
+        return (
+            duplicate_ngram_screen(toks, n=N, min_docs=2, key=key)
+            .agg(
+                F.count(F.lit(1)).alias("g"),
+                F.sum("n_docs").alias("d"),
+                F.sum("n_occurrences").alias("o"),
+            )
+            .first()
+        )
+
+    assert tuple(agg("hash")) == tuple(agg("content"))
+
+
+def test_remove_spans_matches_duckdb(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    out = remove_duplicate_spans(toks, n=N, min_docs=2)
+    checksum = F.expr(
+        "aggregate(transform(tokens, (x, i) -> cast(x as bigint) * (i + 1)),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+    got = sorted(
+        tuple(r)
+        for r in out.select(
+            "doc_id", "source", "n_tok", "n_removed", checksum.alias("ck")
+        ).collect()
+    )
+    want = sorted(
+        _oracle(
+            _GRAMS_CTE
+            + f"""
+, dups AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+    SELECT DISTINCT g.doc_id, u.j
+    FROM grams g JOIN dups USING (gram),
+         UNNEST(range(g.i, g.i + {N})) AS u(j)
+),
+cov_list AS (SELECT doc_id, list(j) AS cov FROM covered GROUP BY 1),
+rebuilt AS (
+    SELECT t.doc_id, t.source, t.n_tok AS n_orig,
+           list_transform(
+               list_filter(range(0, t.n_tok),
+                           p -> NOT list_contains(coalesce(c.cov, []), p)),
+               p -> t.tokens[p + 1]) AS new_tokens
+    FROM tokens_tbl t LEFT JOIN cov_list c USING (doc_id)
+)
+SELECT doc_id, source,
+       CAST(len(new_tokens) AS INTEGER) AS n_tok,
+       CAST(n_orig - len(new_tokens) AS INTEGER) AS n_removed,
+       CAST(coalesce(list_sum(
+           list_transform(range(0, len(new_tokens)),
+                          p -> CAST(new_tokens[p + 1] AS BIGINT) * (p + 1))
+       ), 0) AS BIGINT) AS ck
+FROM rebuilt
+"""
+        )
+    )
+    assert got == want
+    assert any(r[3] > 0 for r in got), "some doc should lose a span"
+    assert any(r[3] == 0 for r in got), "some doc should be untouched"
+
+
+def test_planted_span(spark):
+    """Handcrafted corpus: an 8-token boilerplate block shared by docs a/b
+    is removed from both (including b's second, overlapping occurrence);
+    doc c (unique content) is untouched; a doc shorter than n is ignored."""
+    boiler = list(range(100, 100 + N))
+    rows = [
+        ("a", [1, 2] + boiler + [3], "s1"),
+        # boiler twice, overlapping coverage merges into one interval union
+        ("b", boiler + boiler, "s1"),
+        ("c", list(range(500, 530)), "s2"),
+        ("d", [7, 8, 9], "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t), s) for i, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+    screen = duplicate_ngram_screen(df, n=N, min_docs=2).collect()
+    grams = {r["gram"] for r in screen}
+    assert "-".join(map(str, boiler)) in grams
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, n=N, min_docs=2).collect()
+    }
+    assert out["a"]["tokens"] == [1, 2, 3] and out["a"]["n_removed"] == N
+    assert out["b"]["tokens"] == [] and out["b"]["n_removed"] == 2 * N
+    assert out["c"]["n_removed"] == 0 and out["c"]["n_tok"] == 30
+    assert out["d"]["tokens"] == [7, 8, 9] and out["d"]["n_removed"] == 0
+
+
+def test_rebuild_plan_shape(spark):
+    """Plan assertions: the join-back broadcasts under the guard (corpus
+    never shuffles) and the exploded-hit join is not a cartesian; with the
+    guard disabled at 0 docs the join-back degrades to a shuffle join,
+    still never cartesian."""
+    toks = tokens_from_documents(spark, SF_DIR)
+    plan = remove_duplicate_spans(toks, n=N, min_docs=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    forced = remove_duplicate_spans(
+        toks, n=N, min_docs=2, max_broadcast_docs=0
+    )
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fplan
+    assert forced.count() == toks.count()
+
+
+def test_ngram_keys_short_doc(spark):
+    df = spark.createDataFrame(
+        [("x", [1, 2], 2, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    row = ngram_keys(df, N).first()
+    assert row["gram_keys"] == []
