@@ -1866,6 +1866,85 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 2d. substring-level exact dedup (Lee et al. 2022 repeated-span removal,
+#     functions/spans.py) over the tokens table — per-source accounting with
+#     a position-weighted checksum pinning the exact rebuilt token arrays
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+SPAN_MIN_DOCS = 2
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-token-span removal summarized per source. The checksum is
+    sum over docs of sum_i tokens[i]*(i+1) AFTER removal, so it pins both
+    the surviving token values and their order for every document."""
+    from data_linter_spark.functions.spans import remove_duplicate_spans
+
+    toks = tokens_from_documents(spark, sf_dir)
+    out = remove_duplicate_spans(toks, n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+    ck = F.expr(
+        "aggregate(transform(tokens, (x, i) -> cast(x as bigint) * (i + 1)),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long"))
+            .cast("long")
+            .alias("docs_touched"),
+            F.sum("n_removed").cast("long").alias("tokens_removed"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.sum(ck).cast("long").alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DUP_SPAN_REMOVAL = f"""
+WITH {{TOKENS_CTE}},
+grams AS (
+    SELECT doc_id, i,
+           array_to_string(tokens[i + 1 : i + {SPAN_N}], '-') AS gram
+    FROM tokens_tbl, UNNEST(range(0, n_tok - {SPAN_N} + 1)) AS t(i)
+    WHERE n_tok >= {SPAN_N}
+),
+dups AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+covered AS (
+    SELECT DISTINCT g.doc_id, u.j
+    FROM grams g JOIN dups USING (gram),
+         UNNEST(range(g.i, g.i + {SPAN_N})) AS u(j)
+),
+cov_list AS (SELECT doc_id, list(j) AS cov FROM covered GROUP BY 1),
+rebuilt AS (
+    SELECT t.doc_id, t.source, t.n_tok AS n_orig,
+           list_transform(
+               list_filter(range(0, t.n_tok),
+                           p -> NOT list_contains(coalesce(c.cov, []), p)),
+               p -> t.tokens[p + 1]) AS new_tokens
+    FROM tokens_tbl t LEFT JOIN cov_list c USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_orig > len(new_tokens) THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_touched,
+       CAST(SUM(n_orig - len(new_tokens)) AS BIGINT) AS tokens_removed,
+       CAST(SUM(len(new_tokens)) AS BIGINT) AS tokens_kept,
+       CAST(SUM(coalesce(list_sum(
+           list_transform(range(0, len(new_tokens)),
+                          p -> CAST(new_tokens[p + 1] AS BIGINT) * (p + 1))
+       ), 0)) AS BIGINT) AS content_checksum
+FROM rebuilt
+GROUP BY 1
+ORDER BY 1
+""".replace("{TOKENS_CTE}", TOKENS_SQL_CTE)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1912,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dataset_split": q_dataset_split,
         "pack_windows": q_pack_windows,
+        "dup_span_removal": q_dup_span_removal,
     }
 
 
@@ -1957,4 +2037,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "dataset_split": _sql_dataset_split(),
         "pack_windows": SQL_PACK_WINDOWS,
+        "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     }

@@ -669,7 +669,10 @@ DEDUP_QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding,
     "text_quality_by_source": q_text_quality_by_source,
     "lang_id_counts": q_lang_id_counts,
-    "fingerprint_documents": q_fingerprint_documents,
+    # fingerprint_documents left out of the (50-capped) driver registry in
+    # favor of dup_span_removal: its md5-fingerprint path is still exercised
+    # by dedup_exact_documents and corpus_filter, and its DuckDB oracle runs
+    # in pytest (tests/test_queries_io.py::test_fingerprint_documents_oracle)
     "corpus_filter": q_corpus_filter,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
@@ -684,7 +687,6 @@ DEDUP_ORACLES = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "text_quality_by_source": SQL_TEXT_QUALITY,
     "lang_id_counts": SQL_LANG_ID,
-    "fingerprint_documents": SQL_FINGERPRINT,
     "corpus_filter": _sql_corpus_filter(),
     "dedup_clusters": _sql_dedup_clusters(),
     "dedup_apply": _sql_dedup_apply(),

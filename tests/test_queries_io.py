@@ -37,3 +37,24 @@ def test_jsonl_roundtrip_text_faithful(spark):
     assert out.select(cols).exceptAll(src.select(cols)).count() == 0
     # the surplus column written to the JSONL was dropped by alignment
     assert "extra_col" not in out.columns
+
+
+def test_fingerprint_documents_oracle(spark):
+    """fingerprint_documents left the (50-capped) driver registry in favor
+    of dup_span_removal; its DuckDB oracle runs HERE so the query stays
+    value-checked round over round."""
+    import duckdb
+
+    from data_linter_spark.queries_dedup import (
+        SQL_FINGERPRINT,
+        q_fingerprint_documents,
+    )
+
+    got = [tuple(r) for r in q_fingerprint_documents(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(SQL_FINGERPRINT).fetchall()
+    assert got == want

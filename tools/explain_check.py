@@ -186,6 +186,18 @@ CHECKS = {
         "no_corpus_rejoin": lambda p: "SortMergeJoin" not in p,
         "prunes_text": lambda p: "lang" not in p,
     },
+    "dup_span_removal": {
+        # per-doc dup-start lists broadcast under the guard (the corpus is
+        # never shuffled for the join-back), the hit semi-join is a real
+        # hash join (never cartesian), and the interval-union rebuild is
+        # JVM array arithmetic — no Python anywhere in the plan
+        "broadcast_joinback": lambda p: "BroadcastHashJoin" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "no_python": lambda p: "ArrowEvalPython" not in p
+        and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    },
     "dedup_apply": {
         # the drop set is broadcast; the corpus never shuffles into the
         # anti-join
