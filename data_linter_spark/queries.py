@@ -1879,10 +1879,18 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-token-span removal summarized per source. The checksum is
     sum over docs of sum_i tokens[i]*(i+1) AFTER removal, so it pins both
     the surviving token values and their order for every document."""
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
     from data_linter_spark.functions.spans import remove_duplicate_spans
 
-    toks = tokens_from_documents(spark, sf_dir)
-    out = remove_duplicate_spans(toks, n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+    # the sf-dir documents parquet can be a single file: without a split the
+    # whole gram pipeline runs in ONE task (measured 39 s vs 4 s at sf0.1)
+    toks = ensure_min_parallelism(tokens_from_documents(spark, sf_dir))
+    # key="hash" is the production scale path (96-bit keys, no gram-string
+    # construction); the DuckDB oracle recomputes with literal content keys,
+    # so the checksum ALSO proves the two key modes partition identically
+    out = remove_duplicate_spans(
+        toks, n=SPAN_N, min_docs=SPAN_MIN_DOCS, key="hash"
+    )
     ck = F.expr(
         "aggregate(transform(tokens, (x, i) -> cast(x as bigint) * (i + 1)),"
         " cast(0 as bigint), (a, b) -> a + b)"
