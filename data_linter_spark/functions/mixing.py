@@ -1,0 +1,148 @@
+"""Temperature-flattened source mixing — deterministic weighted corpus
+sampling (the GPT-3 / Pile recipe).
+
+Training mixes don't sample sources proportionally to size: a raw web
+dump would drown books and code. The standard recipe (Brown et al. 2020
+§2.2) samples source ``s`` with probability ∝ ``total_tokens(s)^alpha``
+— ``alpha=1`` is proportional, ``alpha=0`` equal-per-source, ``alpha≈0.5``
+the usual compromise. This module materializes that recipe as a
+DETERMINISTIC per-document keep decision, so the same corpus + the same
+knobs always yield the same mixture (resumable, auditable, and subset-
+stable: raising the budget only ADDS documents — see ``temperature_sample``).
+
+The reference (moj-analytical-services/data_linter) has no sampling
+operator; its seeded row-limit sample (`sources/readers.py`) is the
+per-table sibling. LLM-pipeline gap-filler surface (SURVEY.md §2.9/§6).
+
+Scale shape: one vocab-free token-total groupBy (|sources| rows), the
+weight table stays driver-tiny and broadcast-joins back, and the keep
+decision is a pure map-side md5 threshold — the corpus itself never
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.dedup import hex8_to_long
+
+__all__ = [
+    "source_mixture_weights",
+    "temperature_sample",
+    "mixture_summary",
+]
+
+_U32 = float(2**32)
+
+
+def _uniform01(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) from the id: md5 → first 32 bits.
+    32-bit granularity means a keep-threshold boundary flip between
+    engines needs the double arithmetic to differ by ~2^-32 — never
+    observed; the md5 base makes it portable to the DuckDB oracle."""
+    key = F.concat(id_col.cast("string"), F.lit(salt))
+    return hex8_to_long(F.md5(key.cast("binary"))) / F.lit(_U32)
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source ``(source, total_tokens, weight)`` with
+    ``weight ∝ total_tokens^alpha``, normalized to sum 1.
+
+    One partially-aggregated groupBy to |sources| rows, then the scalar
+    normalizer joins via a broadcast single-row cross join (the idiomatic
+    scalar-subquery plan — constant-sized, never cartesian in the
+    fan-out sense)."""
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n_tok_col).cast("double").alias("total_tokens")
+    )
+    powed = totals.withColumn(
+        "__pow", F.pow("total_tokens", F.lit(float(alpha)))
+    )
+    z = powed.agg(F.sum("__pow").alias("__z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "total_tokens",
+        (F.col("__pow") / F.col("__z")).alias("weight"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget_tokens: float,
+    alpha: float = 0.5,
+    salt: str = "",
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic subset of documents whose EXPECTED token count
+    per source is ``budget_tokens * weight(source)`` (capped at the
+    source's full size — temperature mixing oversamples small sources, and
+    a source asked for more than it has is kept whole; real recipes then
+    epoch it more than once, which is a loader concern, not a corpus one).
+
+    Per-document decision: keep iff ``u(doc_id) < keep_frac(source)`` with
+    ``u`` the md5 uniform — so the kept set is reproducible from the knobs
+    alone, and MONOTONE in the budget: ``keep_frac`` grows with the
+    budget while ``u`` is fixed, hence a bigger budget strictly extends
+    the smaller budget's sample (tested). Expected-value guarantee, not
+    exact-count: documents are atomic, so per-source kept tokens
+    fluctuate O(sqrt(n_docs)) around target — the summary reports both.
+
+    Returns ``df``'s rows (schema preserved) plus ``keep_frac``."""
+    w = source_mixture_weights(
+        df, alpha=alpha, source_col=source_col, n_tok_col=n_tok_col
+    )
+    frac = w.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("weight")
+            / F.col("total_tokens"),
+        ).alias("keep_frac"),
+    )
+    u = _uniform01(F.col(id_col), salt)
+    joined = df.join(
+        F.broadcast(frac),
+        on=df[source_col] == frac["source"],
+        how="inner",
+    ).drop(frac["source"])
+    return joined.filter(u < F.col("keep_frac"))
+
+
+def mixture_summary(
+    df: DataFrame,
+    budget_tokens: float,
+    alpha: float = 0.5,
+    salt: str = "",
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source mixture accounting with a membership checksum.
+
+    ``id_checksum`` sums each kept member's folded md5 long (the
+    `splits.split_summary` pattern), pinning the exact kept SET — two
+    engines agreeing on this summary agree on every keep decision."""
+    kept = temperature_sample(
+        df, budget_tokens, alpha=alpha, salt=salt,
+        source_col=source_col, n_tok_col=n_tok_col, id_col=id_col,
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    fold = hex8_to_long(F.md5(key.cast("binary")))
+    return (
+        kept.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum(n_tok_col).cast("long").alias("kept_tokens"),
+            F.round(F.first("keep_frac"), 6).alias("keep_frac"),
+            F.sum(fold).cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,103 @@
+"""Corpus vocabulary statistics over the tokens table — frequency spectrum,
+top-k tokens, per-source coverage / OOV / entropy.
+
+A training-data pipeline reads these numbers before every run: is the
+tokenizer's vocab actually covered, which ids dominate (padding/boilerplate
+artifacts show up here first), are there out-of-vocab ids (corrupt shards,
+tokenizer mismatch), did the token distribution drift between dumps. The
+reference (moj-analytical-services/data_linter) has no token-level
+operator — this is LLM-pipeline gap-filler surface (SURVEY.md §2.9/§6),
+the value-frequency sibling of `checks/drift.py`'s histogram sketches.
+
+Scale shape (the 100-TB question): exploding 10^12 sequences × ~10^2
+tokens is the biggest shuffle input imaginable, but the key space is the
+VOCAB, not the corpus — partial (map-side) aggregation collapses every
+partition to ≤ |vocab| rows before the exchange, so the shuffle carries
+O(partitions × vocab) counter rows no matter how large the corpus is.
+The top-k never sorts globally either: ``orderBy().limit(k)`` plans as
+TakeOrderedAndProject (per-partition heap + driver merge of k rows).
+Everything is JVM expressions — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_frequencies",
+    "vocab_topk",
+    "vocab_coverage",
+]
+
+
+def token_frequencies(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Per-token occurrence counts — ``(token, n_occurrences)``, optionally
+    keyed by ``by`` (e.g. source). One explode + one partially-aggregated
+    groupBy; output is vocab-sized regardless of corpus size."""
+    keys = [F.col(by)] if by else []
+    return (
+        df.select(*keys, F.explode(tokens_col).alias("token"))
+        .groupBy(*([by] if by else []), "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """The ``k`` most frequent token ids, deterministic tiebreak (count
+    desc, token asc). Plans as TakeOrderedAndProject over the vocab-sized
+    frequency relation — no global sort at any corpus size."""
+    freq = token_frequencies(df, tokens_col=tokens_col)
+    return freq.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source token accounting: totals, EXACT distinct-token count,
+    out-of-vocab occurrences (id < 0 or >= vocab_size), and token-
+    distribution entropy in nats.
+
+    Entropy uses the grouped form H = ln(T) - Σ c·ln(c) / T over the
+    per-(source, token) counts, so it needs no per-token probabilities
+    relation: two partially-aggregated groupBys whose intermediate is
+    ≤ |sources| × |vocab| rows. The distinct count is exact for the same
+    reason the shuffle is safe — the key space is the vocab (contrast
+    `checks/unique.py`, where the key space is the corpus and exactness
+    needs the salted two-stage plan)."""
+    per_tok = (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(tokens_col).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    oov = (F.col("token") < 0) | (F.col("token") >= vocab_size)
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.sum(F.when(oov, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("oov_occurrences"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )

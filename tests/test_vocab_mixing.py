@@ -1,0 +1,231 @@
+"""Vocab statistics (functions/vocab.py) and temperature mixing
+(functions/mixing.py) — DuckDB-oracled on the deterministic tokens table
+derived from the sf0.001 documents parquet (registry is at the driver's
+50-query cap, so these families are value-checked here, the same
+arrangement as tests/test_spans.py)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.dedup import sql_hex8_to_long
+from data_linter_spark.functions.mixing import (
+    mixture_summary,
+    source_mixture_weights,
+    temperature_sample,
+)
+from data_linter_spark.functions.vocab import (
+    token_frequencies,
+    vocab_coverage,
+    vocab_topk,
+)
+from data_linter_spark.tokens import TOKENS_SQL_CTE, tokens_from_documents
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con.sql(sql).fetchall()
+
+
+# -- vocab ------------------------------------------------------------------
+
+
+def test_token_frequencies_oracle(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    got = sorted(tuple(r) for r in token_frequencies(toks).collect())
+    want = sorted(
+        _oracle(
+            f"""
+WITH {TOKENS_SQL_CTE}
+SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tokens_tbl, UNNEST(tokens) AS u(tok)
+GROUP BY 1
+"""
+        )
+    )
+    assert len(got) > 100
+    assert got == want
+
+
+def test_vocab_topk_oracle_and_plan(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    top = vocab_topk(toks, k=25)
+    got = [tuple(r) for r in top.collect()]
+    want = _oracle(
+        f"""
+WITH {TOKENS_SQL_CTE},
+freq AS (
+  SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tokens_tbl, UNNEST(tokens) AS u(tok) GROUP BY 1
+)
+SELECT token, n_occurrences FROM freq
+ORDER BY n_occurrences DESC, token ASC LIMIT 25
+"""
+    )
+    assert got == want
+    # top-k must not plan a global sort: TakeOrderedAndProject is the
+    # per-partition-heap + driver-merge form that survives any vocab size
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_oracle(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    got = sorted(tuple(r) for r in vocab_coverage(toks, 50257).collect())
+    want = sorted(
+        _oracle(
+            f"""
+WITH {TOKENS_SQL_CTE},
+per_tok AS (
+  SELECT source, u.tok AS token, CAST(count(*) AS BIGINT) AS c
+  FROM tokens_tbl, UNNEST(tokens) AS u(tok) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(CASE WHEN token < 0 OR token >= 50257 THEN c ELSE 0 END)
+            AS BIGINT) AS oov_occurrences,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy_nats
+FROM per_tok GROUP BY 1 ORDER BY 1
+"""
+        )
+    )
+    assert got == want
+    assert all(r[3] == 0 for r in got)  # recipe tokens are all in-vocab
+
+
+def test_vocab_coverage_planted_oov(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 1, 2, 99999], 4, "s1"),
+            ("b", [-5, 3], 2, "s1"),
+            ("c", [1, 2, 3, 4], 4, "s2"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {r["source"]: r for r in vocab_coverage(df, 50257).collect()}
+    assert rows["s1"]["oov_occurrences"] == 2  # 99999 and -5
+    assert rows["s1"]["distinct_tokens"] == 5
+    assert rows["s2"]["oov_occurrences"] == 0
+    assert rows["s2"]["entropy_nats"] is not None
+
+
+# -- temperature mixing -----------------------------------------------------
+
+
+def test_mixture_weights_alpha_extremes(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    prop = {
+        r["source"]: r
+        for r in source_mixture_weights(toks, alpha=1.0).collect()
+    }
+    tot = sum(r["total_tokens"] for r in prop.values())
+    for r in prop.values():
+        assert abs(r["weight"] - r["total_tokens"] / tot) < 1e-12
+    flat = source_mixture_weights(toks, alpha=0.0).collect()
+    for r in flat:
+        assert abs(r["weight"] - 1.0 / len(flat)) < 1e-12
+
+
+def test_temperature_sample_monotone_budget(spark):
+    """Raising the budget only ADDS documents: keep_frac grows while each
+    doc's md5 uniform is fixed, so the smaller sample is a strict subset."""
+    toks = tokens_from_documents(spark, SF_DIR)
+    total = toks.agg(F.sum("n_tok")).first()[0]
+    small = temperature_sample(toks, budget_tokens=0.2 * total)
+    big = temperature_sample(toks, budget_tokens=0.6 * total)
+    n_small = small.count()
+    assert 0 < n_small < toks.count()
+    assert small.select("doc_id").exceptAll(big.select("doc_id")).count() == 0
+    assert big.count() > n_small
+
+
+def test_temperature_sample_deterministic_and_plan(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    total = toks.agg(F.sum("n_tok")).first()[0]
+    s1 = temperature_sample(toks, budget_tokens=0.3 * total)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(toks, budget_tokens=0.3 * total)
+        .select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    # the corpus side never shuffles: the tiny frac relation broadcasts
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_summary_oracle(spark):
+    toks = tokens_from_documents(spark, SF_DIR)
+    total = float(toks.agg(F.sum("n_tok")).first()[0])
+    budget = 0.4 * total
+    got = sorted(
+        tuple(r) for r in mixture_summary(toks, budget_tokens=budget).collect()
+    )
+    u = sql_hex8_to_long("md5(doc_id)") + " / 4294967296.0"
+    fold = sql_hex8_to_long("md5(doc_id)")
+    want = sorted(
+        _oracle(
+            f"""
+WITH {TOKENS_SQL_CTE},
+tot AS (
+  SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS total_tokens
+  FROM tokens_tbl GROUP BY 1
+),
+w AS (
+  SELECT source, total_tokens,
+         pow(total_tokens, 0.5) / SUM(pow(total_tokens, 0.5)) OVER ()
+             AS weight
+  FROM tot
+),
+fr AS (
+  SELECT source,
+         least(1.0, {budget!r} * weight / total_tokens) AS keep_frac
+  FROM w
+),
+kept AS (
+  SELECT t.source, t.n_tok, f.keep_frac, {fold} AS fold
+  FROM tokens_tbl t JOIN fr f USING (source)
+  WHERE {u} < f.keep_frac
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+       ROUND(ANY_VALUE(keep_frac), 6) AS keep_frac,
+       CAST(SUM(fold) AS BIGINT) AS id_checksum
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+        )
+    )
+    assert len(got) > 1
+    assert got == want
+
+
+def test_temperature_sample_caps_small_source(spark):
+    """A source whose target exceeds its size is kept WHOLE (frac capped
+    at 1.0), never oversampled."""
+    rows = [(f"d{i}", [1] * 10, 10, "tiny" if i < 3 else "huge")
+            for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    # alpha=0 → equal token targets; 'tiny' (30 tokens) is asked for far
+    # more than it has
+    out = {
+        r["source"]: r
+        for r in mixture_summary(df, budget_tokens=5000, alpha=0.0).collect()
+    }
+    assert out["tiny"]["kept_docs"] == 3
+    assert out["tiny"]["keep_frac"] == 1.0
+    assert out["huge"]["kept_docs"] < 997

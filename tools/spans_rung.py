@@ -1,0 +1,170 @@
+"""Substring-span dedup (functions/spans.py) at a big exploded-gram count —
+the groupBy(gram, doc) screen and the covered-position reassembly are the
+pieces no small test exercises (the spans sibling of tools/lines_rung.py).
+
+    python tools/spans_rung.py [n_docs] [cpus] [--force-shuffle]
+
+Generates 120-token docs on executors (no input data, deterministic),
+fixed layout per doc:
+
+- positions 0..31, 56..119: UNIQUE filler (murmur3-mixed per (doc, pos) —
+  an 8-gram collision across docs needs 8 consecutive 32-bit hash
+  collisions, i.e. never; a linear formula here would alias grams across
+  docs, the exact trap the synthetic token recipe's arithmetic grams
+  fall into at sf0.1),
+- positions 40..55: a 16-token BOILERPLATE block present in EVERY doc
+  (token values 2.1e9+k, disjoint from the filler's pmod range) — the
+  hot grams: each of its 9 interior windows occurs in 100% of docs,
+- positions 32..39 for docs with id%100 in {0,1}: an 8-token PAIR block
+  shared with the neighbour doc (keyed by id div 100) — in exactly 2
+  docs, right AT the min_docs=2 threshold. Because the pair block abuts
+  the boilerplate, the two share 8 extra straddling windows, so a pair
+  doc's covered interval is positions 32..55.
+
+Closed-form expectations asserted IN the job:
+- non-pair docs lose exactly 16 tokens, pair docs exactly 24;
+- duplicated-gram vocabulary = 9 global + 8 per pair group;
+- zero boilerplate tokens survive anywhere;
+- total kept tokens = 120*n_docs - removed.
+
+``--force-shuffle`` sets ``max_broadcast_docs=0`` so the per-doc
+dup-start lists take the shuffle join-back fallback — the path a corpus
+whose HIT-DOC relation outgrows the broadcast ceiling would take.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.spans import (  # noqa: E402
+    duplicate_ngram_screen,
+    remove_duplicate_spans,
+)
+from data_linter_spark.session import get_spark  # noqa: E402
+
+DOC_LEN = 120
+N = 8
+BOILER_BASE = 2_100_000_000  # filler is pmod(..., 2e9): ranges disjoint
+
+
+def synthetic_span_corpus(spark, n_docs: int, n_partitions: int):
+    rng = spark.range(0, n_docs, 1, n_partitions)
+    tokens = (
+        "transform(sequence(0, 119), j -> cast(CASE "
+        f"WHEN j BETWEEN 40 AND 55 THEN {BOILER_BASE} + (j - 40) "
+        "WHEN id % 100 < 2 AND j BETWEEN 32 AND 39 "
+        "  THEN pmod(hash(cast(id div 100 as int), j, 777), 2000000000) "
+        "ELSE pmod(hash(id, j), 2000000000) END as int))"
+    )
+    return rng.select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.expr(tokens).alias("tokens"),
+        F.lit(DOC_LEN).alias("n_tok"),
+        (F.col("id") % 4).cast("string").alias("source"),
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--force-shuffle"]
+    force_shuffle = "--force-shuffle" in sys.argv[1:]
+    n_docs = int(args[0]) if len(args) > 0 else 2_000_000
+    cpus = int(args[1]) if len(args) > 1 else 32
+    assert n_docs % 100 == 0, "closed-form counts assume n_docs % 100 == 0"
+    spark = get_spark(
+        app_name=f"spans_rung_{n_docs}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synthetic_span_corpus(spark, n_docs, cpus * 8)
+    n_pair = 2 * (n_docs // 100)
+    n_groups = n_docs // 100
+    total_grams = n_docs * (DOC_LEN - N + 1)
+    want_removed = 16 * (n_docs - n_pair) + 24 * n_pair
+
+    # phase 1: the duplicated-gram screen alone (production hash keys)
+    t0 = time.perf_counter()
+    scr = duplicate_ngram_screen(docs, n=N, min_docs=2, key="hash").agg(
+        F.count(F.lit(1)).alias("dup_grams"),
+        F.max("n_docs").alias("hottest_gram_docs"),
+    ).collect()[0]
+    screen_sec = time.perf_counter() - t0
+
+    # phase 2: full span removal end-to-end
+    t0 = time.perf_counter()
+    out = remove_duplicate_spans(
+        docs, n=N, min_docs=2, key="hash",
+        max_broadcast_docs=0 if force_shuffle else 20_000_000,
+    )
+    boiler_alive = F.exists(
+        "tokens", lambda t: t >= F.lit(BOILER_BASE)
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs_out"),
+        F.sum("n_removed").cast("long").alias("removed"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"),
+        F.sum((F.col("n_removed") == 16).cast("long")).alias("docs_lost_16"),
+        F.sum((F.col("n_removed") == 24).cast("long")).alias("docs_lost_24"),
+        F.sum(boiler_alive.cast("long")).alias("docs_with_boiler_left"),
+    ).collect()[0]
+    removal_sec = time.perf_counter() - t0
+
+    checks = {
+        "dup_grams": (scr["dup_grams"], 9 + 8 * n_groups),
+        "hottest_gram_docs": (scr["hottest_gram_docs"], n_docs),
+        "n_docs_out": (agg["n_docs_out"], n_docs),
+        "removed": (agg["removed"], want_removed),
+        "kept_tokens": (agg["kept_tokens"], DOC_LEN * n_docs - want_removed),
+        "docs_lost_16": (agg["docs_lost_16"], n_docs - n_pair),
+        "docs_lost_24": (agg["docs_lost_24"], n_pair),
+        "docs_with_boiler_left": (agg["docs_with_boiler_left"], 0),
+    }
+    ok = all(got == want for got, want in checks.values())
+    wall = screen_sec + removal_sec
+    rec = {
+        "workload": "map-side 96-bit hash gram keys -> groupBy(gram, doc) "
+        "-> groupBy(gram) screen; then semi-join hit stream -> "
+        "collect_list(dup starts) -> "
+        + ("SHUFFLE join-back (forced fallback)" if force_shuffle
+           else "broadcast join-back")
+        + " -> pure-JVM interval-union rebuild",
+        "n_docs": n_docs,
+        "exploded_grams": total_grams,
+        "tokens_total": DOC_LEN * n_docs,
+        "cpus": cpus,
+        "screen_sec": round(screen_sec, 1),
+        "removal_sec": round(removal_sec, 1),
+        "wall_sec": round(wall, 1),
+        "grams_per_sec": round(total_grams / wall),
+        "tokens_per_sec": round(DOC_LEN * n_docs / wall),
+        "docs_per_sec": round(n_docs / wall),
+        "checks": {k: {"got": int(g), "want": int(w)}
+                   for k, (g, w) in checks.items()},
+        "all_checks_pass": ok,
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    tag = "shuffle" if force_shuffle else "broadcast"
+    dest = os.path.join(
+        REPO, "BENCH", f"spans_rung_{n_docs}_{tag}_{stamp}.json"
+    )
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+    if not ok:
+        sys.exit("FATAL: span-removal self-checks failed at rung scale")
+
+
+if __name__ == "__main__":
+    main()
