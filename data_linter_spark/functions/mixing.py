@@ -96,6 +96,13 @@ def temperature_sample(
     fluctuate O(sqrt(n_docs)) around target — the summary reports both.
 
     Returns ``df``'s rows (schema preserved) plus ``keep_frac``."""
+    if "keep_frac" in df.columns:
+        # same lesson as incremental_exact_dedup's __dls_fp: an output
+        # column colliding with an input column would ambiguate the join
+        raise ValueError(
+            "input already has a 'keep_frac' column; rename it before "
+            "temperature_sample (the sampler adds its own)"
+        )
     w = source_mixture_weights(
         df, alpha=alpha, source_col=source_col, n_tok_col=n_tok_col
     )

@@ -7,11 +7,22 @@ pieces no small test exercises (the spans sibling of tools/lines_rung.py).
 Generates 120-token docs on executors (no input data, deterministic),
 fixed layout per doc:
 
-- positions 0..31, 56..119: UNIQUE filler (murmur3-mixed per (doc, pos) —
-  an 8-gram collision across docs needs 8 consecutive 32-bit hash
-  collisions, i.e. never; a linear formula here would alias grams across
-  docs, the exact trap the synthetic token recipe's arithmetic grams
-  fall into at sf0.1),
+- positions 0..31, 56..119: UNIQUE filler (xxhash64-mixed per (doc, pos).
+  64 bits matter: hash functions over (id, j) CHAIN their internal state,
+  so one state collision between two doc ids makes their ENTIRE filler
+  identical — with murmur3's 32-bit state that's ~465 expected colliding
+  doc pairs at 2M docs; the 64-bit hash puts the expectation at ~1e-7),
+- the 7 positions flanking the boilerplate block (33..39 for non-pair
+  docs, 56..62 for all docs) carry the doc id ITSELF as a GUARD token:
+  a window of 7 shared boiler tokens + 1 random int32 filler token
+  collides between two docs whenever that ONE token collides
+  (~C(n,2)/2e9 per boundary position — ~1000 phantom dup grams at 2M
+  docs, measured), and int32 tokens can't hash their way out of a
+  birthday bound; the id-injective guard removes the channel exactly.
+  For the same reason the last pair position carries the GROUP id
+  injectively (it sits in every straddle window, so all 8 group windows
+  are group-distinct by construction, not by hash luck), and the pair /
+  guard+filler / boiler value ranges are pairwise disjoint,
 - positions 40..55: a 16-token BOILERPLATE block present in EVERY doc
   (token values 2.1e9+k, disjoint from the filler's pmod range) — the
   hot grams: each of its 9 interior windows occurs in 100% of docs,
@@ -58,12 +69,19 @@ BOILER_BASE = 2_100_000_000  # filler is pmod(..., 2e9): ranges disjoint
 
 def synthetic_span_corpus(spark, n_docs: int, n_partitions: int):
     rng = spark.range(0, n_docs, 1, n_partitions)
+    # value ranges are DISJOINT by construction — filler/guard < 2e9,
+    # pair block in [2.0e9, 2.1e9), boiler in [2.1e9, 2.1e9+16) — and the
+    # last pair position (39, included in every straddle window) carries
+    # the group id injectively, so no 1-token birthday channel survives
     tokens = (
         "transform(sequence(0, 119), j -> cast(CASE "
         f"WHEN j BETWEEN 40 AND 55 THEN {BOILER_BASE} + (j - 40) "
-        "WHEN id % 100 < 2 AND j BETWEEN 32 AND 39 "
-        "  THEN pmod(hash(cast(id div 100 as int), j, 777), 2000000000) "
-        "ELSE pmod(hash(id, j), 2000000000) END as int))"
+        "WHEN id % 100 < 2 AND j = 39 THEN 2000000000 + id div 100 "
+        "WHEN id % 100 < 2 AND j BETWEEN 32 AND 38 "
+        "  THEN 2000000000 + pmod(xxhash64(id div 100, j, 777), 99000000) "
+        "WHEN j BETWEEN 56 AND 62 OR (id % 100 >= 2 AND j BETWEEN 33 AND 39) "
+        "  THEN id "
+        "ELSE pmod(xxhash64(id, j), 2000000000) END as int))"
     )
     return rng.select(
         F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),

@@ -1,0 +1,99 @@
+"""Vocabulary-statistics rung: token_frequencies / vocab_coverage over a
+billion-token synthetic corpus — the measured form of vocab.py's claim
+that the corpus-sized explode collapses map-side to vocab-sized partials
+before any exchange.
+
+    python tools/vocab_rung.py [n_docs] [cpus]
+
+Input is the deterministic ``synthetic_tokens`` table (docs average ~99
+tokens, 30% of rows in one hot source). Self-checks are closed-form-ish:
+totals must equal the exact token count (computable without the explode),
+every token is in-vocab by construction, and the per-source totals must
+sum to the corpus total.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.functions.vocab import (  # noqa: E402
+    vocab_coverage,
+    vocab_topk,
+)
+from data_linter_spark.session import get_spark  # noqa: E402
+from data_linter_spark.tokens import VOCAB_SIZE, synthetic_tokens  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name=f"vocab_rung_{n_docs}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    toks = synthetic_tokens(spark, n_docs, n_partitions=cpus * 8)
+    # exact expected token count WITHOUT the explode: n_tok is derived
+    # arithmetically, so sum(n_tok) is the ground truth the exploded
+    # aggregation must reproduce
+    expect_tokens = toks.agg(F.sum("n_tok")).first()[0]
+
+    t0 = time.perf_counter()
+    cov = vocab_coverage(toks, VOCAB_SIZE).collect()
+    coverage_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    top = vocab_topk(toks, k=100).collect()
+    topk_sec = time.perf_counter() - t0
+
+    got_tokens = sum(r["total_tokens"] for r in cov)
+    got_oov = sum(r["oov_occurrences"] for r in cov)
+    max_distinct = max(r["distinct_tokens"] for r in cov)
+    checks = {
+        "total_tokens": (got_tokens, expect_tokens),
+        "oov_occurrences": (got_oov, 0),
+        "topk_rows": (len(top), 100),
+        "distinct_lte_vocab": (int(max_distinct <= VOCAB_SIZE), 1),
+    }
+    ok = all(g == w for g, w in checks.values())
+    wall = coverage_sec + topk_sec
+    rec = {
+        "workload": "explode(tokens) -> groupBy(source, token) partial agg "
+        "-> per-source coverage/entropy; plus TakeOrdered top-100",
+        "n_docs": n_docs,
+        "tokens_total": int(expect_tokens),
+        "cpus": cpus,
+        "coverage_sec": round(coverage_sec, 1),
+        "topk_sec": round(topk_sec, 1),
+        "wall_sec": round(wall, 1),
+        "tokens_per_sec": round(expect_tokens / wall),
+        "docs_per_sec": round(n_docs / wall),
+        "n_sources": len(cov),
+        "checks": {k: {"got": int(g), "want": int(w)}
+                   for k, (g, w) in checks.items()},
+        "all_checks_pass": ok,
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(rec))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M")
+    dest = os.path.join(REPO, "BENCH", f"vocab_rung_{n_docs}_{stamp}.json")
+    with open(dest, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("wrote", dest)
+    if not ok:
+        sys.exit("FATAL: vocab self-checks failed at rung scale")
+
+
+if __name__ == "__main__":
+    main()
