@@ -44,6 +44,12 @@ def main(argv=None) -> int:
     vp.add_argument("--metadata", required=True, help="metadata JSON path")
     vp.add_argument("--partition-col", required=True)
     vp.add_argument("--manifest", required=True)
+    vp.add_argument(
+        "--table-path", default=None,
+        help="root of the hive-layout partition_col=value/ parquet tree "
+        "--input reads; enables the parquet-footer stats screen so "
+        "fully-proven partitions skip their scan",
+    )
     vp.add_argument("--batch-size", type=int, default=64)
     vp.add_argument("--no-salt", action="store_true")
     vp.add_argument(
@@ -126,6 +132,7 @@ def main(argv=None) -> int:
             salted=not args.no_salt,
             ref_tables=ref_tables,
             unique_screen_only=args.unique_screen_only,
+            table_path=args.table_path,
         )
         print(json.dumps(summary, default=str))
         return 0 if summary["all_passed"] else 1

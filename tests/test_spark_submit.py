@@ -1,0 +1,144 @@
+"""END-TO-END spark-submit --py-files launch — the north rule's deployment
+mode (BASELINE.json: "run via spark-submit --py-files on a multi-executor
+cluster"), actually executed, not just packaged.
+
+The test reproduces the full cluster launch sequence on local mode:
+
+1. build the ``--py-files`` zip (``tools/package_pyfiles.build``);
+2. write a hive-layout tokens table (pyarrow only — NO Spark involved in
+   producing the fixture, so the subprocess proves the whole read path);
+3. ``spark-submit --master local[4] --py-files <zip> driver.py
+   validate-partitioned ...`` from a cwd where the repo package is NOT
+   importable — the zip alone must ship the engine to the driver and
+   executors, exactly as on a real cluster;
+4. assert the printed summary (all partitions pass, footer screen wired
+   via ``--table-path``), then resubmit and assert checkpoint RESUME
+   skips every already-validated partition.
+
+Reference parity: the reference is a pip-installed pandas package
+(``/root/reference/setup.py``); its cluster analogue is this launch mode.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit():
+    import pyspark
+
+    cand = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    if os.path.exists(cand):
+        return cand
+    return shutil.which("spark-submit")
+
+
+def _write_tokens_hive(root: str, n_rows: int = 400) -> None:
+    """Valid-by-construction tokens table (input_hint shape), hive layout
+    partitioned on source, int32 arrays per the metadata contract."""
+    from data_linter_spark.tokens import VOCAB_SIZE
+
+    doc_id, tokens, n_tok, source = [], [], [], []
+    for i in range(n_rows):
+        doc_id.append(f"doc-{i}")
+        toks = [(i * 7 + j * 13) % VOCAB_SIZE for j in range(1 + i % 40)]
+        tokens.append(toks)
+        n_tok.append(len(toks))
+        source.append("web" if i % 3 else "books")
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": pa.array(tokens, pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(source, pa.string()),
+        }
+    )
+    pq.write_to_dataset(table, root, partition_cols=["source"])
+
+
+@pytest.mark.skipif(
+    _spark_submit() is None, reason="spark-submit not on this host"
+)
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    from data_linter_spark.tokens import tokens_metadata
+    from tools.package_pyfiles import build
+
+    zip_path = build(str(tmp_path / "data_linter_spark.zip"))
+
+    data = str(tmp_path / "tokens_tbl")
+    _write_tokens_hive(data)
+    meta_path = tmp_path / "tokens_meta.json"
+    meta_path.write_text(json.dumps(tokens_metadata()))
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        "from data_linter_spark.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    manifest = str(tmp_path / "manifest")
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_GRAFT_MASTER", "SPARK_GRAFT_CPUS")
+    }
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.driver.memory=2g",
+        "--py-files", zip_path,
+        str(driver),
+        "validate-partitioned",
+        "--input", data,
+        "--metadata", str(meta_path),
+        "--partition-col", "source",
+        "--manifest", manifest,
+        "--table-path", data,
+    ]
+
+    def submit():
+        # cwd=tmp_path: the repo checkout must NOT be importable — only
+        # the --py-files zip can supply the package, as on a real cluster
+        r = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True,
+            text=True, timeout=420,
+        )
+        assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-4000:]}"
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        raise AssertionError(f"no JSON summary in stdout:\n{r.stdout}")
+
+    first = submit()
+    assert first["all_passed"] is True
+    assert first["partitions_total"] == 2
+    assert first["partitions_skipped_resume"] == 0
+    # valid-by-construction data: the footer screen + scans both pass;
+    # pattern/unique specs keep partitions scan-validated (not footer-proven)
+    assert (
+        first["partitions_proven_by_stats"] + first["partitions_validated"]
+        == 2
+    )
+    assert first["global_checks"]["doc_id.unique_test"]["valid"] is True
+
+    second = submit()
+    assert second["all_passed"] is True
+    assert second["partitions_skipped_resume"] == 2
+    assert second["partitions_validated"] == 0
