@@ -1,0 +1,238 @@
+"""URL / domain operators — canonicalization, registrable-domain grouping,
+per-domain caps, blocklists, URL-keyed dedup.
+
+Web-scale corpora are keyed by URL before they are keyed by content: the
+standard pipeline (CCNet, C4, RefinedWeb, Dolma) canonicalizes URLs, drops
+blocklisted domains, caps how many pages any one domain may contribute, and
+exact-dedups on the canonical URL *before* content-level dedup ever runs.
+The reference (moj-analytical-services/data_linter) has no URL operator —
+this is LLM-pipeline gap-filler surface (SURVEY.md §2.9/§6), the sibling of
+``functions/dedup.py`` (content keys) and ``functions/mixing.py`` (source
+weights).
+
+Design constraints:
+
+- **Regex-only canonicalization** so a DuckDB oracle reproduces every rule
+  bit-for-bit (``tests/test_urls.py``). All patterns are RE2-safe (no
+  lookaround) and avoid engine-specific classes, so Spark's Java regex and
+  DuckDB's RE2 agree.
+- **Pure JVM expressions** for normalize / host / domain — map-side, fused
+  into the scan, no Python, no shuffle.
+- **Registrable domain is a heuristic** (last two labels, or three when the
+  second-level label is a known multi-part marker like ``co.uk``). A
+  production pipeline broadcasts the full public-suffix list as a join
+  table; the heuristic keeps this module dependency-free and the API shape
+  is identical (swap :func:`registrable_domain_expr` for a broadcast join
+  against the PSL relation).
+- **Per-domain cap** reuses the two-stage local-top-k plan
+  (``text.top_quality_per_group`` / r3 verdict task 6): no per-domain
+  window over a corpus-sized partition — a hot domain (the whole point of
+  capping) would otherwise be the skew hotspot.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_url_expr",
+    "url_host_expr",
+    "registrable_domain_expr",
+    "domain_cap",
+    "domain_blocklist_filter",
+    "dedup_by_url",
+]
+
+# scheme://authority — everything before the first /, ? or # past the scheme
+_PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+# tracking params every major pipeline strips (utm_* family + click ids)
+_TRK = r"(?:utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*)"
+# hosts whose registrable domain spans THREE labels (sub.example.co.uk →
+# example.co.uk): a 2-letter ccTLD preceded by a well-known second-level
+# marker. Heuristic subset of the public-suffix list — see module docstring.
+_MULTIPART_TLD_RE = r"(^|\.)(co|com|org|net|gov|ac|edu)\.[a-z][a-z]$"
+
+
+def normalize_url_expr(col: Union[Column, str]) -> Column:
+    """Canonical form of a URL as a pure JVM expression.
+
+    Rules (in order; each is one regex step a DuckDB oracle replays):
+
+    1. trim surrounding whitespace;
+    2. drop the fragment (``#...`` to end);
+    3. lowercase the ``scheme://host[:port]`` prefix (path/query case is
+       significant and preserved);
+    4. drop default ports (``http…:80``, ``https…:443``);
+    5. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``), tidying the ``?`` / ``&`` separators;
+    6. a path of exactly ``/`` with no query collapses to the bare
+       authority.
+
+    A string with no ``scheme://`` prefix passes through steps 1–2 only
+    (returned trimmed + defragmented — callers screening non-URL junk
+    should pair this with a pattern constraint)."""
+    u = F.regexp_replace(F.trim(F.col(col) if isinstance(col, str) else col),
+                         r"#.*$", "")
+    prefix = F.regexp_extract(u, _PREFIX_RE, 0)
+    rest = F.substr(u, F.length(prefix) + F.lit(1))
+    prefix = F.lower(prefix)
+    prefix = F.regexp_replace(prefix, r"^(http://[^:]+):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^:]+):443$", "$1")
+    # non-leading tracking params (global replace eats consecutive runs),
+    # then a leading tracking param either promotes the next param or
+    # drops the '?' entirely
+    rest = F.regexp_replace(rest, r"&" + _TRK, "")
+    rest = F.regexp_replace(rest, r"\?" + _TRK + r"&", "?")
+    rest = F.regexp_replace(rest, r"\?" + _TRK + r"$", "")
+    rest = F.when(rest == "/", F.lit("")).otherwise(rest)
+    return F.when(prefix == "", u).otherwise(F.concat(prefix, rest))
+
+
+def url_host_expr(col: Union[Column, str]) -> Column:
+    """Lowercased host (no port, no credentials) of a URL; empty string for
+    non-URLs. Map-side regex extraction."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(
+            F.trim(u),
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+            1,
+        )
+    )
+
+
+def registrable_domain_expr(host: Union[Column, str]) -> Column:
+    """Heuristic eTLD+1 of a (lowercased) host: the last two labels, or the
+    last three when the host ends in a known multi-part public suffix
+    (``co.uk``-style — ``_MULTIPART_TLD_RE``). Pure array arithmetic:
+    split → slice from the tail → rejoin; no Python, no shuffle.
+
+    ``example.co.uk`` → ``example.co.uk``; ``a.b.example.com`` →
+    ``example.com``; a bare ``co.uk`` or single label returns itself."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    base = F.when(h.rlike(_MULTIPART_TLD_RE), F.lit(3)).otherwise(F.lit(2))
+    take = F.least(n, base)
+    return F.array_join(F.slice(labels, n - take + 1, take), ".")
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """Keep at most ``k`` documents per registrable domain — the standard
+    defense against a single crawler-friendly site dominating the corpus.
+
+    Rank inside a domain is ``quality_col`` desc (when given) with
+    ``id_col`` asc tiebreak, else ``id_col`` asc alone — both total orders,
+    so the kept set is deterministic. Returns the input rows (full schema)
+    plus ``domain`` and ``domain_rank``.
+
+    Scale shape: domains are the definition of skew (the capped site has
+    millions of pages), so a plain rank-over-partitionBy(domain) — one task
+    sorting the hottest domain's full page set — is exactly wrong here.
+    Instead the two-stage local-top-k plan (``text.top_quality_per_group``,
+    r3 verdict task 6): (1) project (domain, id, sort key) and keep at most
+    ``k`` rows per domain per input partition in an Arrow batch pass — no
+    shuffle, O(k·domains) state; (2) only survivors (≤ k × domains ×
+    partitions) shuffle into the final rank window; (3) the kept (id, rank)
+    relation equi-joins back to the corpus (AQE picks broadcast when
+    k × domains is small)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if quality_col is not None and quality_col not in df.columns:
+        raise ValueError(f"no column {quality_col!r} in input")
+    domain = registrable_domain_expr(url_host_expr(url_col))
+    sort_cols = ([quality_col] if quality_col else []) + [id_col]
+    ascending = ([False] if quality_col else []) + [True]
+    projected = df.select(
+        domain.alias("domain"),
+        F.col(id_col),
+        *([F.col(quality_col)] if quality_col else []),
+    )
+    schema = projected.schema
+
+    def local_topk(batches: Iterator) -> Iterator:
+        best = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat(
+                [best, pdf], ignore_index=True
+            )
+            best = (
+                pool.sort_values(sort_cols, ascending=ascending,
+                                 kind="mergesort")
+                .groupby("domain", sort=False, dropna=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    survivors = projected.mapInPandas(local_topk, schema=schema)
+    order = (
+        [F.desc(quality_col)] if quality_col else []
+    ) + [F.asc(id_col)]
+    w = Window.partitionBy("domain").orderBy(*order)
+    kept = (
+        survivors.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= k)
+        .select("domain", id_col, "domain_rank")
+    )
+    return df.join(kept, on=id_col, how="inner")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: Union[Sequence[str], DataFrame],
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose registrable domain is blocklisted (matching the
+    domain matches every subdomain, because the key IS the registrable
+    domain). ``blocked`` is a Python sequence of domains (compiles to a
+    map-side ``isin`` — no join at all, the ``checks/referential.py``
+    IN-list pattern) or a DataFrame with a ``domain`` column (broadcast
+    anti-join — blocklists are dim-sized by nature)."""
+    domain = registrable_domain_expr(url_host_expr(url_col))
+    if isinstance(blocked, DataFrame):
+        tagged = df.withColumn("__dls_domain", domain)
+        out = tagged.join(
+            F.broadcast(blocked.select(F.col("domain").alias("__dls_domain"))),
+            on="__dls_domain",
+            how="left_anti",
+        )
+        return out.drop("__dls_domain")
+    return df.filter(~domain.isin([d.lower() for d in blocked]))
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on the CANONICAL URL: of all rows normalizing to the
+    same URL, keep the one with the smallest ``id_col``. The URL sibling of
+    ``dedup.dedup_exact_documents`` — same plan shape: map-side key
+    projection, one partially-aggregated ``groupBy(key).min(id)``, then a
+    ``left_semi`` join back on (key, id). Rows whose normalized URL is
+    empty/null (non-URLs) are kept unconditionally — screening junk is the
+    pattern constraint's job, not the deduper's."""
+    key = normalize_url_expr(url_col)
+    tagged = df.withColumn("__dls_url", key)
+    real = tagged.filter(
+        F.col("__dls_url").isNotNull() & (F.col("__dls_url") != "")
+    )
+    firsts = real.groupBy("__dls_url").agg(F.min(id_col).alias(id_col))
+    kept = real.join(firsts, on=["__dls_url", id_col], how="left_semi")
+    passthrough = tagged.filter(
+        F.col("__dls_url").isNull() | (F.col("__dls_url") == "")
+    )
+    return kept.unionByName(passthrough).drop("__dls_url")
