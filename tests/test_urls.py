@@ -147,6 +147,31 @@ def test_normalize_url_oracle(spark):
     assert by_mod[7].startswith("not a url ") and "#" not in by_mod[7]
 
 
+def test_staged_forms_match_expr_forms(spark):
+    """The hot-path projection-staged builders must be value-identical to
+    the single-Column reference forms the oracle tests pin."""
+    from data_linter_spark.functions.urls import (
+        with_normalized_url,
+        with_registrable_domain,
+    )
+
+    df = _spark_urls(spark, MESSY_URL_SQL)
+    both = with_normalized_url(df, "url", "nu_staged").withColumn(
+        "nu_expr", normalize_url_expr("url")
+    )
+    assert both.filter(F.col("nu_staged") != F.col("nu_expr")).count() == 0
+    dom = with_registrable_domain(df, "url", "d_staged").withColumn(
+        "d_expr", registrable_domain_expr(url_host_expr("url"))
+    )
+    assert dom.filter(F.col("d_staged") != F.col("d_expr")).count() == 0
+    # staged forms stay map-side too
+    plan = (
+        with_normalized_url(df, "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_normalize_is_idempotent(spark):
     """Canonicalization must be a projection onto its own image: a second
     pass changes nothing (otherwise two pipelines that normalize a

@@ -1,0 +1,157 @@
+"""Scale rung for the URL/domain family (functions/urls.py):
+canonicalize + URL-exact-dedup + per-domain cap on a skewed synthetic
+corpus, with exact in-job self-checks.
+
+    python tools/urls_rung.py [n_rows]      # default 50_000_000
+
+Synthesis (deterministic, pure Spark range — no external data, per the
+north rule): rows come in groups of 5 sharing a canonical URL but written
+as 5 messy variants (plain / :80 port / #fragment / ?utm_ tracking param /
+uppercase host), so dedup_by_url must collapse exactly 5→1. 30% of groups
+live on ONE hot domain (the capped-site scenario — the skew the two-stage
+cap plan exists for); the rest spread over 100k tail domains.
+
+Self-checks (all computed in-job, no oracle needed):
+- dedup: kept count == n_groups AND sum(kept doc_id) == sum of group bases
+  (each group's survivor must be its lowest id — both are closed forms);
+- cap:   per-domain kept counts never exceed k, ranks are dense 1..m, and
+  total kept == Σ_domains min(k, pages) computed by an independent
+  groupBy of the raw corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.urls import dedup_by_url, domain_cap
+from data_linter_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HOT_FRAC_GROUPS = 3  # gid % 10 < 3 → hot domain (30% of groups)
+TAIL_DOMAINS = 100_000
+K = 10
+
+
+def synth_urls(spark, n_rows: int, n_partitions: int):
+    """Messy URL corpus: 5 variants per canonical group, skewed domains."""
+    df = spark.range(0, n_rows, numPartitions=n_partitions).select(
+        F.col("id").alias("doc_id")
+    )
+    gid = F.col("doc_id") - (F.col("doc_id") % 5)
+    grp = (F.col("doc_id") / 5).cast("long")  # dense group index
+    variant = F.col("doc_id") % 5
+    host = F.when(
+        grp % 10 < HOT_FRAC_GROUPS, F.lit("big.hotsite.com")
+    ).otherwise(
+        F.concat(
+            F.lit("www.w"),
+            (grp % TAIL_DOMAINS).cast("string"),
+            F.lit("-site.com"),
+        )
+    )
+    path = F.concat(F.lit("/p/"), gid.cast("string"))
+    base = F.concat(F.lit("http://"), host, path)
+    url = (
+        F.when(variant == 0, base)
+        .when(variant == 1, F.concat(F.lit("http://"), host, F.lit(":80"), path))
+        .when(variant == 2, F.concat(base, F.lit("#frag")))
+        .when(variant == 3, F.concat(base, F.lit("?utm_source=rung")))
+        .otherwise(F.concat(F.lit("http://"), F.upper(host), path))
+    )
+    return df.select("doc_id", url.alias("url"), gid.alias("__gid"))
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    assert n_rows % 10 == 0, "n_rows must be a multiple of 10 (5-row groups)"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="urls_rung", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = synth_urls(spark, n_rows, n_partitions=cpus * 4).drop("__gid")
+
+    # --- dedup_by_url ------------------------------------------------------
+    t0 = time.time()
+    kept = dedup_by_url(corpus).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    ).collect()[0]
+    dedup_s = time.time() - t0
+    n_groups = n_rows // 5
+    # group bases are 0,5,10,...: sum = 5 * (n_groups-1) * n_groups / 2
+    want_sum = 5 * (n_groups - 1) * n_groups // 2
+    assert kept["n"] == n_groups, (kept["n"], n_groups)
+    assert kept["id_sum"] == want_sum, (kept["id_sum"], want_sum)
+
+    # --- domain_cap on the raw (pre-dedup) corpus --------------------------
+    t0 = time.time()
+    capped = domain_cap(corpus, k=K)
+    stats = capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.max("domain_rank").alias("max_rk"),
+        F.min("domain_rank").alias("min_rk"),
+    )
+    agg = stats.agg(
+        F.sum("kept").alias("total_kept"),
+        F.max("kept").alias("max_kept"),
+        F.sum(
+            F.when(
+                (F.col("kept") != F.col("max_rk")) | (F.col("min_rk") != 1),
+                1,
+            ).otherwise(0)
+        ).alias("rank_violations"),
+    ).collect()[0]
+    cap_s = time.time() - t0
+    assert agg["max_kept"] <= K and agg["rank_violations"] == 0, dict(agg.asDict())
+    # independent expected total: Σ_domains min(k, pages) over the raw corpus
+    from data_linter_spark.functions.urls import (
+        registrable_domain_expr,
+        url_host_expr,
+    )
+    want_total = (
+        corpus.groupBy(
+            registrable_domain_expr(url_host_expr("url")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .agg(F.sum(F.least(F.lit(K), F.col("pages"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert agg["total_kept"] == want_total, (agg["total_kept"], want_total)
+
+    report = {
+        "rung": "urls",
+        "rows": n_rows,
+        "hot_domain_rows": int(n_rows * HOT_FRAC_GROUPS / 10),
+        "tail_domains": TAIL_DOMAINS,
+        "dedup_by_url": {
+            "wall_s": round(dedup_s, 2),
+            "rows_per_sec": int(n_rows / dedup_s),
+            "kept": int(kept["n"]),
+            "checks": "kept-count + kept-id-sum closed forms PASS",
+        },
+        "domain_cap": {
+            "k": K,
+            "wall_s": round(cap_s, 2),
+            "rows_per_sec": int(n_rows / cap_s),
+            "total_kept": int(agg["total_kept"]),
+            "checks": "per-domain <=k, dense ranks, independent min(k,pages) total PASS",
+        },
+        "cpus": cpus,
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(report))
+    ts = time.strftime("%Y-%m-%d_%H%M")
+    with open(
+        os.path.join(REPO, "BENCH", f"urls_rung_{n_rows}_{ts}.json"), "w"
+    ) as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
