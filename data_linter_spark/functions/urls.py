@@ -58,6 +58,19 @@ _TRK = r"(?:utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*)"
 _MULTIPART_TLD_RE = r"(^|\.)(co|com|org|net|gov|ac|edu)\.[a-z][a-z]$"
 
 
+def _check_no_reserved(df: DataFrame) -> None:
+    """The staged builders add ``__dls_*`` working columns; an input that
+    already has one would ambiguate the later references (the
+    ``incremental_exact_dedup`` / ``temperature_sample`` lesson) — fail
+    loudly instead."""
+    clash = [c for c in df.columns if c.startswith("__dls_")]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the reserved __dls_ "
+            "prefix; rename them first"
+        )
+
+
 def normalize_url_expr(col: Union[Column, str]) -> Column:
     """Canonical form of a URL as a pure JVM expression.
 
@@ -108,6 +121,7 @@ def with_normalized_url(
     u0, p0, pre0, r0, r1 = (
         "__dls_u", "__dls_p", "__dls_pre", "__dls_r0", "__dls_r1"
     )
+    _check_no_reserved(df)
     keep = df.columns
     s = df.select("*", F.regexp_replace(
         F.trim(F.col(url_col)), r"#.*$", "").alias(u0))
@@ -176,6 +190,7 @@ def with_registrable_domain(
     with the host extraction and label split behind projection boundaries
     so each regex/split runs once per row (see :func:`with_normalized_url`
     for why). Map-side only."""
+    _check_no_reserved(df)
     keep = df.columns
     s = df.select("*", url_host_expr(url_col).alias("__dls_host"))
     s = s.select(
