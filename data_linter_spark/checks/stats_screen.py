@@ -140,6 +140,16 @@ def parquet_stats_screen(
                 )
         n_rows += md.num_rows
 
+    # hive partition columns live in the DIRECTORY names, not the footers:
+    # Spark fills their values from the path on read, so "absent from every
+    # footer" must NOT be read as "reads as NULL" for them
+    hive_cols = {
+        seg.split("=", 1)[0]
+        for fp in files
+        for seg in fp.split(os.sep)
+        if "=" in seg
+    }
+
     out_cols: dict[str, dict] = {}
     for mc in meta.columns:
         name = mc["name"]
@@ -169,10 +179,17 @@ def parquet_stats_screen(
                     {"status": "fail", "proven_violations": uncovered}
                 )
             tests["nullable_test"] = _combine(nv)
-        elif mc.get("nullable") is False and n_rows > 0:
+        elif (
+            mc.get("nullable") is False
+            and n_rows > 0
+            and name not in hive_cols
+        ):
             # column absent from EVERY file's footers (full schema
             # evolution): Spark reads all n_rows as NULL — a provable
-            # fail, not a skip (r4 ADVICE)
+            # fail, not a skip (r4 ADVICE). Hive partition columns are
+            # exempt: they are absent from footers BY CONSTRUCTION and
+            # Spark materializes their values from the directory names,
+            # so the scan (which sees those values) must decide.
             tests["nullable_test"] = {
                 "status": "fail",
                 "proven_violations": n_rows,

@@ -844,6 +844,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    manage_aqe: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph -> ``(id, rep)``
     where ``rep`` is the component's minimum id — the step that turns
@@ -898,7 +899,16 @@ def connected_components(
     # 3.7 s with AQE off). Above the threshold the per-round relations are
     # big enough that AQE's coalescing/skew handling pays for itself, so
     # it stays on. The flag is restored whatever happens in the loop.
-    small_graph = n_pairs <= 10_000_000
+    #
+    # CAVEAT: spark.sql.adaptive.enabled is a SESSION-global conf — the
+    # flip affects every query planned on this session during the loop,
+    # and two concurrent connected_components calls can race on the
+    # save/restore (B saves A's 'false', then restores it after A already
+    # restored the original). Spark exposes no per-job scope for this
+    # conf; callers sharing one session across threads should pass
+    # ``manage_aqe=False`` and accept the small-graph latency (or set AQE
+    # themselves around the whole batch).
+    small_graph = n_pairs <= 10_000_000 and manage_aqe
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if small_graph:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -1025,10 +1035,13 @@ def apply_dedup(
 
             is_str = isinstance(drops.schema[id_col].dataType, StringType)
             if is_str:
+                # EXACT mean width over the full (persisted, broadcast-
+                # sized) drop set: a limit() sample reads only leading
+                # partitions, and a clustered upstream (short numeric ids
+                # first, long URLs later) would understate the width —
+                # defeating the byte guard exactly when it matters
                 avg_w = (
-                    drops.limit(100_000)
-                    .agg(F.avg(F.length(id_col)))
-                    .first()[0]
+                    drops.agg(F.avg(F.length(id_col))).first()[0]
                 ) or 8.0
                 per_row = float(avg_w) + 24.0  # UTF8String + entry overhead
             else:

@@ -115,9 +115,12 @@ def temperature_sample(
         ).alias("keep_frac"),
     )
     u = _uniform01(F.col(id_col), salt)
+    # eqNullSafe: a NULL source is a legitimate group — it got a weight in
+    # the normalization above, so a plain == join (never matching NULL)
+    # would silently drop those rows AND strand their budget share
     joined = df.join(
         F.broadcast(frac),
-        on=df[source_col] == frac["source"],
+        on=df[source_col].eqNullSafe(frac["source"]),
         how="inner",
     ).drop(frac["source"])
     return joined.filter(u < F.col("keep_frac"))

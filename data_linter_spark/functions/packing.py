@@ -607,9 +607,18 @@ def pack_sequence_sums(
     contrib = F.least(
         F.col("start_offset") + F.col("__n_tok"), (F.col("seq_id") + 1) * L
     ) - F.greatest(F.col("start_offset"), F.col("seq_id") * L)
-    return spanned.groupBy(group_col, "seq_id").agg(
+    out = spanned.groupBy(group_col, "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(contrib).cast("long").alias("seq_tokens"),
+    )
+    # propagate the skew-safe path's persisted ranged relation so
+    # release_persisted(result) frees it (pack_windows does the same);
+    # without this every call in a long-lived session pins another
+    # corpus-sized cache
+    from data_linter_spark.functions.dedup import _track_persisted
+
+    return _track_persisted(
+        out, getattr(assigned, "_dls_persisted", None) or []
     )
 
 
@@ -640,7 +649,7 @@ def packing_stats(
     )
     total = F.sum("__n_tok")
     n_windows = F.ceil(total / L).cast("long")
-    return flagged.groupBy(F.col("grp").alias(group_col)).agg(
+    out = flagged.groupBy(F.col("grp").alias(group_col)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         total.alias("total_tokens"),
         n_windows.alias("n_windows"),
@@ -655,4 +664,10 @@ def packing_stats(
         F.round(total / (n_windows * L).cast("double"), 4).alias(
             "packing_efficiency"
         ),
+    )
+    # see pack_sequence_sums: hand the skew-safe cache to the caller
+    from data_linter_spark.functions.dedup import _track_persisted
+
+    return _track_persisted(
+        out, getattr(assigned, "_dls_persisted", None) or []
     )

@@ -137,9 +137,15 @@ def _local_topk_then_rank(
                 [best, pdf], ignore_index=True
             )
             best = (
+                # na_position='last' (explicit): a zero-norm vector's 0/0
+                # comes back from the Arrow batch as NULL (pandas NaN is
+                # the missing sentinel, so pyarrow maps it to null — Spark
+                # never sees a true NaN sim from cosine_sim_pd), and
+                # Spark's desc window puts NULLs LAST; the local stage
+                # must agree or the two stages would rank differently
                 pool.sort_values(
                     ["sim", "neighbor_id"], ascending=[False, True],
-                    kind="mergesort",
+                    kind="mergesort", na_position="last",
                 )
                 .groupby("query_id", sort=False, dropna=False)
                 .head(k)

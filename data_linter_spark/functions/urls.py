@@ -96,12 +96,18 @@ def normalize_url_expr(col: Union[Column, str]) -> Column:
     prefix = F.lower(prefix)
     prefix = F.regexp_replace(prefix, r"^(http://[^:]+):80$", "$1")
     prefix = F.regexp_replace(prefix, r"^(https://[^:]+):443$", "$1")
+    # split at the FIRST '?' so tracking-param stripping only touches the
+    # query string — '&' is legal unencoded inside a PATH segment, and a
+    # literal '/a&utm_b/' path must survive canonicalization intact
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    q = F.regexp_extract(rest, r"\?.*$", 0)
     # non-leading tracking params (global replace eats consecutive runs),
     # then a leading tracking param either promotes the next param or
     # drops the '?' entirely
-    rest = F.regexp_replace(rest, r"&" + _TRK, "")
-    rest = F.regexp_replace(rest, r"\?" + _TRK + r"&", "?")
-    rest = F.regexp_replace(rest, r"\?" + _TRK + r"$", "")
+    q = F.regexp_replace(q, r"&" + _TRK, "")
+    q = F.regexp_replace(q, r"\?" + _TRK + r"&", "?")
+    q = F.regexp_replace(q, r"\?" + _TRK + r"$", "")
+    rest = F.concat(path, q)
     rest = F.when(rest == "/", F.lit("")).otherwise(rest)
     return F.when(prefix == "", u).otherwise(F.concat(prefix, rest))
 
@@ -134,14 +140,22 @@ def with_normalized_url(
         ).alias(pre0),
         F.substr(u0, F.length(p0) + F.lit(1)).alias(r0),
     )
+    # query-anchored strip (see normalize_url_expr): path before the first
+    # '?' is untouchable, tracking rules apply to the query alone
     s = s.select(
         "*",
-        F.regexp_replace(
+        F.concat(
+            F.regexp_replace(r0, r"\?.*$", ""),
             F.regexp_replace(
-                F.regexp_replace(r0, r"&" + _TRK, ""),
-                r"\?" + _TRK + r"&", "?",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(r0, r"\?.*$", 0),
+                        r"&" + _TRK, "",
+                    ),
+                    r"\?" + _TRK + r"&", "?",
+                ),
+                r"\?" + _TRK + r"$", "",
             ),
-            r"\?" + _TRK + r"$", "",
         ).alias(r1),
     )
     nu = F.when(F.col(p0) == "", F.col(u0)).otherwise(
@@ -220,10 +234,14 @@ def domain_cap(
     """Keep at most ``k`` documents per registrable domain — the standard
     defense against a single crawler-friendly site dominating the corpus.
 
-    Rank inside a domain is ``quality_col`` desc (when given) with
-    ``id_col`` asc tiebreak, else ``id_col`` asc alone — both total orders,
-    so the kept set is deterministic. Returns the input rows (full schema)
-    plus ``domain`` and ``domain_rank``.
+    Rank inside a domain is ``quality_col`` desc (when given; NULL/NaN
+    quality normalizes to -inf = ranked last) with ``id_col`` asc tiebreak,
+    else ``id_col`` asc alone — both total orders, so the kept set is
+    deterministic (``id_col`` assumed unique). Returns the input rows
+    (full schema) plus ``domain`` and ``domain_rank``. Rows with no
+    parseable host (domain ``''``) pass through UNCAPPED with a NULL rank
+    — capping the junk pseudo-domain would mass-delete non-URL rows, the
+    pattern constraint's call, not the capper's.
 
     Scale shape: domains are the definition of skew (the capped site has
     millions of pages), so a plain rank-over-partitionBy(domain) — one task
@@ -242,12 +260,26 @@ def domain_cap(
 
     if quality_col is not None and quality_col not in df.columns:
         raise ValueError(f"no column {quality_col!r} in input")
-    sort_cols = ([quality_col] if quality_col else []) + [id_col]
+    sort_cols = (["__qk"] if quality_col else []) + [id_col]
     ascending = ([False] if quality_col else []) + [True]
     narrow = [id_col] + ([quality_col] if quality_col else [])
-    projected = with_registrable_domain(
-        df.select(url_col, *narrow), url_col, "domain"
-    ).select("domain", *narrow)
+    tagged = with_registrable_domain(df, url_col, "domain")
+    projected = tagged.filter(F.col("domain") != "").select(
+        "domain", *narrow
+    )
+    if quality_col:
+        # normalize NULL and NaN quality to -inf so both sort stages (and
+        # both engines) agree they rank LAST: Spark's own window semantics
+        # split them (desc puts NULL last but NaN first) and pandas lumps
+        # both under na_position — a deterministic sentinel sidesteps all
+        # three behaviors and reads "junk quality = worst"
+        projected = projected.withColumn(
+            "__qk",
+            F.coalesce(
+                F.nanvl(F.col(quality_col).cast("double"), F.lit(None)),
+                F.lit(float("-inf")),
+            ),
+        )
     schema = projected.schema
 
     def local_topk(batches: Iterator) -> Iterator:
@@ -266,16 +298,25 @@ def domain_cap(
             yield best
 
     survivors = projected.mapInPandas(local_topk, schema=schema)
-    order = (
-        [F.desc(quality_col)] if quality_col else []
-    ) + [F.asc(id_col)]
+    order = ([F.desc("__qk")] if quality_col else []) + [F.asc(id_col)]
     w = Window.partitionBy("domain").orderBy(*order)
     kept = (
         survivors.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= k)
         .select("domain", id_col, "domain_rank")
     )
-    return df.join(kept, on=id_col, how="inner")
+    # rows whose URL has no parseable host all map to domain '' — capping
+    # that pseudo-domain would mass-delete junk rows corpus-wide, which is
+    # the pattern constraint's call, not the capper's (same passthrough
+    # contract as dedup_by_url): they come back with a NULL rank
+    capped = tagged.filter(F.col("domain") != "").join(
+        kept.drop("domain"), on=id_col, how="inner"
+    )
+    passthrough = (
+        tagged.filter(F.col("domain") == "")
+        .withColumn("domain_rank", F.lit(None).cast("int"))
+    )
+    return capped.unionByName(passthrough.select(*capped.columns))
 
 
 def domain_blocklist_filter(

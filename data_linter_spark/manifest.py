@@ -381,8 +381,13 @@ def _screen_partitions(
             return parquet_stats_screen(
                 dirs[partition_id_of(v)], metadata, columns=data_cols
             )
-        except FileNotFoundError:
-            return None  # empty/garbage dir: not screenable, scan decides
+        except Exception:
+            # empty dir, truncated/corrupt footer (pyarrow ArrowInvalid /
+            # OSError), permission hiccup — all mean the same thing here:
+            # not screenable, the scan decides. A single damaged file must
+            # not abort validation of every OTHER partition; the scan of
+            # THIS partition will surface the real error with context.
+            return None
 
     screenable = [v for v in todo if partition_id_of(v) in dirs]
     with ThreadPoolExecutor(max_workers=16) as pool:

@@ -181,6 +181,27 @@ def test_cosine_topk(spark):
     assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rk"])] == [2, 3]
 
 
+def test_cosine_topk_zero_norm_vector_ranks_last(spark):
+    """A zero-norm corpus vector's 0/0 similarity crosses the Arrow
+    boundary as NULL (pandas NaN = missing), and both ranking stages agree
+    NULLs sort LAST (pandas na_position='last', Spark desc nulls-last) —
+    so a degenerate vector can never displace a real neighbor, and the
+    two-stage result cannot depend on partition layout."""
+    from data_linter_spark.functions.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.0, 1.0])],
+        "id int, v array<float>",
+    ).repartition(4)
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "qid int, qv array<float>")
+    rows = sorted(
+        cosine_topk(q, corpus, "qv", "v", "qid", "id", k=3).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [r["neighbor_id"] for r in rows] == [2, 4, 3]
+    assert rows[2]["sim"] is None  # the zero vector, ranked last, sim NULL
+
+
 def test_lsh_topk_matches_exact_on_easy_corpus(spark):
     from data_linter_spark.functions.similarity import cosine_topk_lsh
 

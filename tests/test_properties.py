@@ -304,3 +304,26 @@ def test_skew_safe_packing_equals_declarative_property(spark, rows, n_parts):
             num_partitions=n_parts).collect())
     )
     assert got == want
+
+
+def test_pack_sums_and_stats_propagate_persisted_handle(spark):
+    """The skew-safe path persists its ranged relation; the derived
+    accounting functions must hand that cache to the caller so
+    release_persisted(result) actually frees it (a long-lived session
+    would otherwise pin one corpus-sized cache per call)."""
+    from data_linter_spark.functions.dedup import release_persisted
+    from data_linter_spark.functions.packing import (
+        pack_sequence_sums,
+        packing_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "g", i, 700) for i in range(20)],
+        "doc_id string, grp string, ord long, n_tok int",
+    )
+    sums = pack_sequence_sums(df, "grp", "ord", "n_tok", context_len=2048)
+    sums.count()
+    assert release_persisted(sums) >= 1
+    stats = packing_stats(df, "grp", "ord", "n_tok", context_len=2048)
+    stats.count()
+    assert release_persisted(stats) >= 1

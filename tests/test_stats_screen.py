@@ -209,3 +209,28 @@ def test_screen_fails_nonnullable_column_absent_from_all_files(tmp_path):
     v = screen["columns"]["doc_id"]["nullable_test"]
     assert v["status"] == "fail"
     assert v["proven_violations"] == 3
+
+
+def test_hive_partition_column_not_falsely_failed(tmp_path):
+    """A hive partition column is absent from every footer BY CONSTRUCTION
+    — Spark materializes its values from the directory names, so the
+    absent-from-footers branch must not prove a nullable FAIL for it
+    (a clean partitioned table would otherwise report n_rows violations)."""
+    d = tmp_path / "ptbl" / "source=web"
+    d.mkdir(parents=True)
+    _write(str(d / "part0.parquet"), [5, 6, 7], [[1], [2], [3]])
+    meta = Metadata({
+        "name": "toks", "file_format": "parquet",
+        "columns": META["columns"]
+        + [{"name": "source", "type": "string", "nullable": False}],
+    })
+    screen = parquet_stats_screen(str(tmp_path / "ptbl"), meta)
+    assert "source" not in screen["columns"]  # left to the scan
+    # a genuinely absent non-partition column still proves the fail
+    meta2 = Metadata({
+        "name": "toks", "file_format": "parquet",
+        "columns": META["columns"]
+        + [{"name": "ghost", "type": "string", "nullable": False}],
+    })
+    v = parquet_stats_screen(str(tmp_path / "ptbl"), meta2)
+    assert v["columns"]["ghost"]["nullable_test"]["status"] == "fail"

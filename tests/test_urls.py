@@ -63,9 +63,11 @@ _ORACLE_NORM = r"""
     FROM split
 ), stripped AS (
     SELECT doc_id, u, p, prefix,
+      regexp_replace(rest0, '\?.*$', '') ||
       regexp_replace(
         regexp_replace(
-          regexp_replace(rest0,
+          regexp_replace(
+            coalesce(regexp_extract(rest0, '\?.*$'), ''),
             '&(?:utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*)', '', 'g'),
           '\?(?:utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*)&', '?'),
         '\?(?:utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*)$', '') AS rest1
@@ -145,6 +147,40 @@ def test_normalize_url_oracle(spark):
     assert "utm_" not in by_mod[5] and "gclid" not in by_mod[5]
     assert by_mod[6] == "https://example.com"                 # '/' collapsed
     assert by_mod[7].startswith("not a url ") and "#" not in by_mod[7]
+
+
+def test_path_ampersand_survives_and_cap_passthrough(spark):
+    """'&' is legal unencoded inside a PATH segment: tracking-param rules
+    must only fire after the first '?'. And rows with no parseable host
+    pass through domain_cap uncapped with a NULL rank."""
+    rows = [
+        (0, "http://x.com/a&utm_b/c"),              # path '&utm_' kept
+        (1, "http://x.com/a&utm_b/c?utm_source=t"), # query trk stripped
+        (2, "http://x.com/p?id=1&utm_a=2&gclid=3"),
+        (3, "junk-no-scheme"),
+        (4, "also junk"),
+        (5, "http://real.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    nu = {
+        r["doc_id"]: r["nu"]
+        for r in df.select(
+            "doc_id", normalize_url_expr("url").alias("nu")
+        ).collect()
+    }
+    assert nu[0] == "http://x.com/a&utm_b/c"
+    assert nu[1] == "http://x.com/a&utm_b/c"
+    assert nu[2] == "http://x.com/p?id=1"
+    # 0 and 1 now collide → dedup keeps the lower id
+    kept = sorted(r[0] for r in dedup_by_url(df).select("doc_id").collect())
+    assert kept == [0, 2, 3, 4, 5]
+    # junk rows are never capped: k=1 keeps one real row per domain but
+    # both junk rows, with NULL ranks
+    capped = domain_cap(df, k=1)
+    got = {r["doc_id"]: r["domain_rank"] for r in capped.collect()}
+    assert got[3] is None and got[4] is None
+    real = [d for d, rk in got.items() if rk is not None]
+    assert sorted(real) == [0, 5]  # one per real domain (x.com, real.com)
 
 
 def test_staged_forms_match_expr_forms(spark):

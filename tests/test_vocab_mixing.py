@@ -229,3 +229,18 @@ def test_temperature_sample_caps_small_source(spark):
     assert out["tiny"]["kept_docs"] == 3
     assert out["tiny"]["keep_frac"] == 1.0
     assert out["huge"]["kept_docs"] < 997
+
+
+def test_temperature_sample_keeps_null_source_group(spark):
+    """A NULL source is a legitimate group: it receives a weight in the
+    normalization, so the join back must be null-safe — a plain == join
+    would drop every NULL-source row and strand that budget share."""
+    rows = [(i, 100, "web" if i % 2 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int, source string")
+    w = source_mixture_weights(df, alpha=0.5)
+    assert w.count() == 2  # NULL group present with its own weight
+    kept = temperature_sample(df, budget_tokens=4000.0, alpha=0.5)
+    # budget >= corpus: keep_frac caps at 1.0 → EVERY row kept, including
+    # the NULL-source half
+    assert kept.count() == 40
+    assert kept.filter("source IS NULL").count() == 20
