@@ -1,0 +1,190 @@
+"""Character n-gram language-model perplexity — the CCNet-style corpus
+quality signal, re-expressed Spark-first.
+
+CCNet (Wenzek et al. 2020) buckets web text by language-model perplexity;
+the production recipe uses KenLM, an external single-machine artifact.
+This module keeps the *pipeline semantics* — train a small LM on a
+reference corpus, score every document, filter/bucket on perplexity —
+with a character n-gram model whose training AND scoring are plain
+DataFrame aggregations:
+
+- the model is a ``(gram, logp)`` RELATION, not a binary artifact: train
+  is two partially-aggregated groupBys whose key space is the observed
+  ``charset^n`` (bounded — it collapses map-side no matter the corpus
+  size), add-k smoothed per context;
+- scoring is one map-side gram explode + one broadcast join against the
+  model + one groupBy(doc) average — no Python anywhere;
+- everything is exactly reproducible in ANSI SQL (``tests/test_charlm.py``
+  replays train + score in DuckDB and matches per-document).
+
+The reference (moj-analytical-services/data_linter) has no LM operator —
+LLM-pipeline gap-filler surface (SURVEY.md §2.9/§6), the model-based
+sibling of ``text.quality_score``'s heuristics.
+
+Scale shape (the 100-TB question): the train shuffles carry at most
+``|charset|^n`` counter rows after map-side partial aggregation (64k rows
+for lowercase ASCII trigrams — broadcast-sized by construction); the score
+join broadcasts that model relation, so the corpus never shuffles at all —
+the only wide op is the per-document groupBy, whose input is the exploded
+gram stream with map-side partial aggregation on (doc, sum, count).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_ngrams_expr",
+    "train_char_lm",
+    "charlm_score",
+    "perplexity_filter",
+]
+
+
+def char_ngrams_expr(col: Column, n: int) -> Column:
+    """Array of all character ``n``-grams of ``col`` (1-based substrings,
+    order preserved, in-doc repeats kept) — pure JVM ``transform`` over
+    ``sequence``; empty array when the text is shorter than ``n`` (guarded:
+    Spark's ``sequence(1, 0)`` would count DOWN, not return empty)."""
+    starts = F.when(
+        F.length(col) >= n,
+        F.sequence(F.lit(1), F.length(col) - n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.substring(col, i, n))
+
+
+def _norm(col: Column) -> Column:
+    """Shared text normalization for train and score: lowercase + collapse
+    whitespace runs to single spaces (so formatting doesn't fragment the
+    gram space). Kept regex-simple for oracle parity."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def train_char_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Train an add-k character ``n``-gram LM on a reference corpus;
+    returns the model as a ``(gram, logp)`` DataFrame with
+
+        logp(gram) = ln( (c(gram) + k) / (c(ctx) + k * V) )
+
+    where ``ctx`` is the gram's first ``n-1`` characters, ``c(ctx)`` the
+    total count of grams sharing that context, and ``V`` the number of
+    DISTINCT final characters observed corpus-wide (the event space of the
+    conditional). Two groupBys, both collapsing map-side to at most
+    ``|charset|^n`` rows; the V aggregate is one driver-sized number.
+
+    The model relation is broadcast-sized by construction — persist/write
+    it like any dim table; it is also exactly reproducible in SQL (tested
+    against DuckDB)."""
+    grams = df.select(
+        F.explode(char_ngrams_expr(_norm(F.col(text_col)), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    v = counts.select(
+        F.countDistinct(F.substring("gram", n, 1)).alias("v")
+    ).first()["v"]
+    ctx = counts.groupBy(
+        F.substring("gram", 1, n - 1).alias("ctx")
+    ).agg(F.sum("c").alias("ctx_c"))
+    k = float(smoothing_k)
+    return (
+        counts.withColumn("ctx", F.substring("gram", 1, n - 1))
+        .join(ctx, on="ctx")
+        .select(
+            "gram",
+            F.log(
+                (F.col("c") + F.lit(k))
+                / (F.col("ctx_c") + F.lit(k * float(v)))
+            ).alias("logp"),
+        )
+    )
+
+
+def charlm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    unseen_logp: float | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document LM statistics: ``(id, n_grams, avg_logp, ppl)`` with
+    ``ppl = exp(-avg_logp)`` (character-level perplexity — LOW is fluent
+    under the reference corpus, HIGH is junk/foreign/garbled; CCNet keeps
+    the low-to-middle buckets).
+
+    Grams absent from the model score ``unseen_logp`` (default
+    ``-ln(1e6)`` ≈ -13.8 — a deterministic floor well below any smoothed
+    seen-gram mass; pass the train-side ``ln(k / (k*V))`` for a tighter
+    theoretical value). Documents with no grams (shorter than ``n``)
+    return NULL avg_logp/ppl rather than a fake score.
+
+    Plan: map-side explode fused into the scan → broadcast LEFT join
+    against the (broadcast-sized) model → one partially-aggregated
+    groupBy(id). The corpus never shuffles; the exchange carries one
+    (id, sum, count) row per doc per partition."""
+    floor = float(unseen_logp) if unseen_logp is not None else -math.log(1e6)
+    g = df.select(
+        F.col(id_col),
+        F.explode(
+            char_ngrams_expr(_norm(F.col(text_col)), n)
+        ).alias("gram"),
+    )
+    scored = g.join(F.broadcast(lm), on="gram", how="left").select(
+        id_col, F.coalesce("logp", F.lit(floor)).alias("logp")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.avg("logp").alias("avg_logp"),
+    )
+    # LEFT join back from the corpus id set so gram-less docs stay visible
+    out = (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.col("avg_logp"),
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "avg_logp", F.round("avg_logp", round_to)
+        ).withColumn("ppl", F.round("ppl", round_to))
+    return out
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: DataFrame,
+    max_ppl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_unscoreable: bool = False,
+) -> DataFrame:
+    """Corpus rows whose character perplexity under ``lm`` is at most
+    ``max_ppl`` (full input schema preserved). Documents too short to
+    score (no grams) are dropped unless ``keep_unscoreable`` — matching
+    CCNet's posture that unscoreable text doesn't enter the kept buckets.
+    The score relation is doc-id-keyed and joins back on ``id_col``
+    (AQE broadcasts it when small)."""
+    scores = charlm_score(
+        df, lm, text_col=text_col, id_col=id_col, n=n, round_to=None
+    )
+    keep = scores.filter(
+        (F.col("ppl") <= max_ppl)
+        | (F.lit(bool(keep_unscoreable)) & F.col("ppl").isNull())
+    ).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

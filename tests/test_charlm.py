@@ -1,0 +1,177 @@
+"""Character n-gram LM perplexity (functions/charlm.py) — train AND score
+replayed in DuckDB SQL on the sf0.001 documents parquet, matched
+per-gram (model) and per-document (scores). Registry is at the driver's
+50-query cap, so the family is value-checked here (the test_spans.py /
+test_urls.py arrangement)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_linter_spark.functions.charlm import (
+    char_ngrams_expr,
+    charlm_score,
+    perplexity_filter,
+    train_char_lm,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+K = 0.5
+FLOOR = -math.log(1e6)
+
+# DuckDB replay: same normalization, same gram extraction, same add-k form
+_ORACLE_LM = f"""
+WITH docs AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+    FROM documents WHERE text IS NOT NULL
+), g AS (
+    SELECT doc_id, substr(t, CAST(u.i AS INT), 3) AS gram
+    FROM docs, UNNEST(generate_series(1, length(t) - 2)) AS u(i)
+    WHERE length(t) >= 3
+), counts AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram
+), vv AS (
+    SELECT count(DISTINCT substr(gram, 3, 1)) AS v FROM counts
+), ctx AS (
+    SELECT substr(gram, 1, 2) AS ctx, sum(c) AS ctx_c
+    FROM counts GROUP BY 1
+), lm AS (
+    SELECT gram, ln((c + {K}) / (ctx_c + {K} * v)) AS logp
+    FROM counts
+    JOIN ctx ON substr(counts.gram, 1, 2) = ctx.ctx
+    CROSS JOIN vv
+)
+"""
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con.sql(sql).fetchall()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+
+
+def test_char_ngrams_expr_guards_short_text(spark):
+    df = spark.createDataFrame(
+        [("ab",), ("abc",), ("abcd",), ("",)], "t string"
+    )
+    rows = {
+        r["t"]: r["g"]
+        for r in df.select(
+            "t", char_ngrams_expr(F.col("t"), 3).alias("g")
+        ).collect()
+    }
+    assert rows["ab"] == [] and rows[""] == []
+    assert rows["abc"] == ["abc"]
+    assert rows["abcd"] == ["abc", "bcd"]
+
+
+def test_train_char_lm_matches_duckdb(spark):
+    lm = train_char_lm(_docs(spark), "text", n=3, smoothing_k=K)
+    got = {r["gram"]: r["logp"] for r in lm.collect()}
+    want = dict(_oracle(_ORACLE_LM + "SELECT gram, logp FROM lm"))
+    assert set(got) == set(want)
+    assert len(got) > 100
+    for gram, lp in want.items():
+        assert got[gram] == pytest.approx(lp, rel=1e-9)
+
+
+def test_charlm_score_matches_duckdb(spark):
+    docs = _docs(spark)
+    lm = train_char_lm(docs, "text", n=3, smoothing_k=K)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["avg_logp"])
+        for r in charlm_score(docs, lm, "text", "doc_id", round_to=None)
+        .collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in _oracle(
+            _ORACLE_LM
+            + """
+, scored AS (
+    SELECT g.doc_id, coalesce(lm.logp, {floor}) AS logp
+    FROM g LEFT JOIN lm ON g.gram = lm.gram
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_grams,
+       s.avg_logp
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN (
+    SELECT doc_id, count(*) AS n, avg(logp) AS avg_logp
+    FROM scored GROUP BY doc_id
+) s USING (doc_id)
+""".format(floor=FLOOR)
+        )
+    }
+    assert set(got) == set(want)
+    for d, (n, lp) in want.items():
+        assert got[d][0] == n
+        if lp is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(lp, rel=1e-9)
+
+
+def test_perplexity_filter_separates_fluent_from_junk(spark):
+    """An LM trained on English-like text must give garbled consonant
+    strings a higher perplexity, and the filter must keep only the fluent
+    rows at a threshold between the two."""
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and then "
+             "the small red hen reads the long good book") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm = train_char_lm(train, "text", n=3, smoothing_k=K)
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox reads the good book"),
+            (2, "zzqxv kjwq vvxzp qqq zxkvj wqpzz xxj"),
+            (3, "x"),  # too short to score
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r["doc_id"]: r["ppl"]
+        for r in charlm_score(corpus, lm, "text", "doc_id").collect()
+    }
+    assert s[3] is None
+    assert s[1] < s[2]
+    thr = (s[1] + s[2]) / 2
+    kept = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(corpus, lm, thr, "text", "doc_id")
+        .collect()
+    )
+    assert kept == [1]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(
+            corpus, lm, thr, "text", "doc_id", keep_unscoreable=True
+        ).collect()
+    )
+    assert kept2 == [1, 3]
+
+
+def test_charlm_score_plan_broadcasts_model(spark):
+    docs = _docs(spark)
+    lm = train_char_lm(docs, "text", n=3, smoothing_k=K)
+    plan = (
+        charlm_score(docs, lm, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
