@@ -42,17 +42,9 @@ from pyspark.sql import types as T
 DEFAULT_DATE_FORMAT = "%Y-%m-%d"  # pandas_validator.py:21
 DEFAULT_DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"  # pandas_validator.py:22
 
-# fixed test order mirrors the reference's validate_col
-# (pandas_validator.py:88-96)
-TEST_ORDER = [
-    "min_max_test",
-    "min_max_length_test",
-    "pattern_test",
-    "enum_test",
-    "nullable_test",
-    "datetime_format_test",
-    "date_format_test",
-]
+# The fixed test order (min_max, length, pattern, enum, nullable,
+# datetime, date — the reference's validate_col, pandas_validator.py:88-96)
+# is encoded directly by build_column_specs' add() sequence below.
 
 
 @dataclass
@@ -100,33 +92,56 @@ _STRPTIME_MAP = {
     "%B": "MMMM",
     "%a": "EEE",
     "%A": "EEEE",
-    "%j": "DDD",
-    "%%": "'%'",
+    "%j": "D",
+    "%%": None,  # literal '%' — handled as a literal token below
 }
 
 
 def strptime_to_spark(fmt: str) -> str:
     """Translate a strptime format (e.g. ``%d/%m/%Y``) to a Spark/java.time
-    pattern (``dd/MM/yyyy``). Literal letters are single-quoted so java.time
-    does not treat them as pattern characters."""
-    out: list[str] = []
+    pattern (``dd/MM/yyyy``).
+
+    Literal text is quoted as MERGED RUNS, never per-character: java.time
+    reads ``''`` inside adjacent quoted sections as an escaped quote, so a
+    per-char translation of ``UTC`` (``'U''T''C'``) silently becomes the
+    literal ``U'T'C`` and the pattern never matches (verified; regression
+    test in tests/test_column_checks.py). A run is quoted only if it
+    contains letters or quotes; punctuation/digits pass through raw."""
+    toks: list[tuple[str, str]] = []  # (kind, text), kind in {p, l}
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
             if tok not in _STRPTIME_MAP:
                 raise ValueError(f"unsupported strptime directive {tok!r} in {fmt!r}")
-            out.append(_STRPTIME_MAP[tok])
+            if tok == "%%":
+                toks.append(("l", "%"))
+            else:
+                toks.append(("p", _STRPTIME_MAP[tok]))
             i += 2
         else:
-            ch = fmt[i]
-            if re.match(r"[A-Za-z]", ch):
-                out.append(f"'{ch}'")
-            elif ch == "'":
-                out.append("''")
-            else:
-                out.append(ch)
+            toks.append(("l", fmt[i]))
             i += 1
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if not run:
+            return
+        text = "".join(run)
+        if re.search(r"[A-Za-z']", text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        run.clear()
+
+    for kind, text in toks:
+        if kind == "l":
+            run.append(text)
+        else:
+            flush()
+            out.append(text)
+    flush()
     return "".join(out)
 
 

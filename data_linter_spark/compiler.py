@@ -59,7 +59,17 @@ class ConstraintPlan:
         # cross-column row invariants (metadata "row-conditions", graft
         # extension): compiled into the SAME fused pass as the per-column
         # tests — an expression_test costs zero extra scans
+        seen_cond_names: set[str] = set()
         for cond in metadata.row_conditions:
+            if cond["name"] in seen_cond_names:
+                # two conditions under one name would share an aggregation
+                # alias and Row.asDict() would silently keep only the last
+                # counter — a violated invariant could pass unnoticed
+                raise ValueError(
+                    f"duplicate row-condition name {cond['name']!r}; give "
+                    "each condition a distinct name"
+                )
+            seen_cond_names.add(cond["name"])
             expr = F.expr(cond["expression"])
             self.specs.append(
                 ConstraintSpec(
@@ -152,6 +162,13 @@ class ConstraintPlan:
         return response
 
     def _row_id(self) -> F.Column:
+        """Row identity for violation reporting. When no natural key is
+        given, monotonically_increasing_id() is used — it is a function of
+        the scan's partition layout, so the ids in ``violations_df`` and in
+        ``unexpected_index_sample`` (two separate jobs over the same static
+        input) agree in practice but are not CONTRACTUALLY stable across
+        jobs; pass ``row_id_col`` (a real key column) when downstream
+        consumers need to join the two outputs."""
         if self.row_id_col and self.row_id_col in self.df.columns:
             return F.col(self.row_id_col)
         return F.monotonically_increasing_id()
@@ -216,9 +233,19 @@ class ConstraintPlan:
         (column, test). Written to a sink by the runner
         (``violations-base-path``), never collected to the driver."""
         specs = self.specs if specs is None else specs
+        # internal cast-check helpers never belong in the sink (the
+        # docstring's contract is ORIGINAL columns + the two markers), and
+        # the no-spec path must keep the same schema as the normal path so
+        # per-table violation outputs stay union-compatible
+        precast = [c for c in self.df.columns if c.startswith("__precast__")]
         if not specs:
-            return self.df.limit(0).withColumn(
-                VIOLATED_TESTS_COL, F.array().cast("array<string>")
+            return (
+                self.df.limit(0)
+                .withColumn(ROW_ID_COL, self._row_id())
+                .withColumn(
+                    VIOLATED_TESTS_COL, F.array().cast("array<string>")
+                )
+                .drop(*precast)
             )
         tagged = F.array_compact(
             F.array(
@@ -234,4 +261,5 @@ class ConstraintPlan:
             self.df.withColumn(ROW_ID_COL, self._row_id())
             .withColumn(VIOLATED_TESTS_COL, tagged)
             .filter(F.size(VIOLATED_TESTS_COL) > 0)
+            .drop(*precast)
         )

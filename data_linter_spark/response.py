@@ -59,7 +59,16 @@ class ValidatorResult:
 
     def add_table_test(self, testname: str, test_result: dict) -> None:
         """Record a table-scope test as a pseudo-column
-        (reference base.py:87-92)."""
+        (reference base.py:87-92).
+
+        Parity quirk, reproduced deliberately: the reference's own callers
+        pass UNPREFIXED names ('parse_data_to_pandas', 'overall_validation',
+        'check_schema_conforms' — pandas_validator.py:73,81,
+        parquet_validator.py:81) even though get_names_of_column_failures
+        only skips the 'validator-table-test-' prefix (base.py:71), so a
+        failed table test shows up in the reference's failed-column list
+        too. Callers wanting the skip behavior can prefix the name
+        themselves with TABLE_TEST_PREFIX."""
         self.init_col(testname)
         self.result[testname] = test_result
         if self.vvkn in test_result:

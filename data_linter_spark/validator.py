@@ -239,9 +239,18 @@ class SparkValidator:
                     res["percentage_of_column_is_error"] = (
                         row2["violating_rows"] / total * 100
                     )
-            self.response.add_test_to_col(
-                det, "functional_dependency_test", res
+            # one determinant may declare SEVERAL dependents — key each
+            # result by the dependent so a second declaration cannot
+            # overwrite a failing first one (graft extension, so the key
+            # shape is ours to define; the bare name is kept for the
+            # single-dependent common case)
+            seen = self.response.result.get(det, {})
+            tname = (
+                "functional_dependency_test"
+                if "functional_dependency_test" not in seen
+                else f"functional_dependency_test__{d}"
             )
+            self.response.add_test_to_col(det, tname, res)
 
     def _resolve_ref_table(self, table: str) -> DataFrame:
         """Referenced dimension from ``ref_tables``: a DataFrame as-is, a

@@ -6,6 +6,7 @@ same expected pass/fail, exercising the null-semantics parity matrix.
 """
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_linter_spark.checks.column import build_column_specs, strptime_to_spark
@@ -516,3 +517,118 @@ def test_violation_sample_random_seeded(spark):
     assert s42a == s42b                       # reproducible
     assert set(s7) != set(s42a)               # seed changes the draw
     assert set(s42a) <= {str(i + 1000) for i in range(500)}
+
+
+def test_strptime_literal_runs_quoted_as_one_span():
+    """Adjacent literal letters must share ONE quoted span: per-char quoting
+    ('U''T''C') is read by java.time as U-literal-quote-T-literal-quote-C
+    and never matches real text."""
+    assert strptime_to_spark("%Y-%m-%d %H:%M:%S UTC") == "yyyy-M-d H:m:s' UTC'"
+    assert strptime_to_spark("%H h %M min") == "H' h 'm' min'"
+    assert strptime_to_spark("100%% %Y") == "100% yyyy"
+    assert strptime_to_spark("%j") == "D"
+
+
+def test_datetime_format_with_literal_words_and_dayofyear(spark):
+    """End-to-end: values under '%Y-%m-%d %H:%M:%S UTC' and non-padded
+    '%Y %j' (both valid per Python strptime) must PASS the format test —
+    the old per-char quoting / 'DDD' width made every such value a
+    violation."""
+    meta_col = {
+        "name": "test_col",
+        "type": "timestamp(s)",
+        "datetime_format": "%Y-%m-%d %H:%M:%S UTC",
+    }
+    res = run_test(
+        spark,
+        (["2024-03-01 12:30:00 UTC", None], T.StringType()),
+        meta_col,
+        "datetime_format_test",
+    )
+    assert res["valid"] is True
+    meta_col2 = {
+        "name": "test_col",
+        "type": "date",
+        # the reference reads the 'datetime_format' key for BOTH tests
+        # (pandas_validator.py:293, :309)
+        "datetime_format": "%Y %j",
+    }
+    res2 = run_test(
+        spark, (["2024 5", "2024 005"], T.StringType()), meta_col2,
+        "date_format_test",
+    )
+    assert res2["valid"] is True
+
+
+def test_duplicate_row_condition_names_raise(spark):
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [{"name": "a", "type": "int32"}],
+        "row-conditions": [
+            {"name": "chk", "expression": "a > 0"},
+            {"name": "chk", "expression": "b > 0"},
+        ],
+    })
+    with pytest.raises(ValueError, match="duplicate row-condition"):
+        ConstraintPlan(df, meta)
+
+
+def test_violations_df_schema_stable_and_no_precast_leak(spark):
+    """The no-spec path must keep the same schema (__row_id included) as
+    the normal path, and internal __precast__* helpers never reach the
+    violations sink."""
+    from data_linter_spark.compiler import ConstraintPlan
+    from data_linter_spark.metadata import Metadata
+
+    df = spark.createDataFrame([("x", 5)], "a string, n int").withColumn(
+        "__precast__n", F.col("n").cast("string")
+    )
+    meta = Metadata({
+        "name": "t", "file_format": "csv",
+        "columns": [{"name": "n", "type": "int32", "minimum": 100}],
+    })
+    plan = ConstraintPlan(df, meta)
+    v = plan.violations_df()
+    assert "__row_id" in v.columns and "__precast__n" not in v.columns
+    empty = ConstraintPlan(
+        df, Metadata({"name": "t", "file_format": "csv",
+                      "columns": [{"name": "a", "type": "string"}]})
+    )
+    # a string column with no constraints compiles to zero specs
+    assert empty.violations_df().columns == v.columns
+
+
+def test_fd_multiple_dependents_keep_both_results(spark, tmp_path):
+    from data_linter_spark.validator import SparkValidator
+
+    df = spark.createDataFrame(
+        [("10001", "nyc", "NY"), ("10001", "brooklyn", "NY")],
+        "zip string, city string, state string",
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    meta = {
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "zip", "type": "string"},
+            {"name": "city", "type": "string"},
+            {"name": "state", "type": "string"},
+        ],
+        "dependencies": [
+            {"determinant": "zip", "dependent": "city"},   # violated
+            {"determinant": "zip", "dependent": "state"},  # clean
+        ],
+    }
+    v = SparkValidator(path, {}, meta)
+    v.read_data_and_validate()
+    tests = v.get_response_dict()["zip"]
+    fd_keys = [k for k in tests if k.startswith("functional_dependency")]
+    assert len(fd_keys) == 2
+    verdicts = {tests[k]["test_inputs"]["dependent"]: tests[k]["valid"]
+                for k in fd_keys}
+    assert verdicts == {"city": False, "state": True}
+    assert v.valid is False
