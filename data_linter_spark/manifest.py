@@ -60,7 +60,13 @@ class PartitionManifest:
 
     def __init__(self, path: str, fs=None):
         self.path = path
-        if fs is None and "://" in path:
+        # Hadoop normalizes 'file:///x' to 'file:/x' (single slash), so a
+        # '://' test would misroute normalized URIs to the local os.*
+        # backend and write records into a literal './file:/x' junk dir —
+        # match any 'scheme:/' prefix, the same rule as runner._is_uri
+        import re as _re
+
+        if fs is None and _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/", path):
             from data_linter_spark.fs import HadoopFS
 
             fs = HadoopFS()
@@ -227,7 +233,28 @@ def validate_partitioned(
     maps referenced table names to DataFrames or parquet paths.
     """
     all_values = [r[0] for r in df.select(partition_col).distinct().collect()]
-    done = manifest.done_partitions()
+    # ONE full manifest read per run: prior records give both the resume
+    # set and the prior statuses; every status recorded during THIS run is
+    # folded in memory (at the module's own 10^4-10^5-partition design
+    # point a second full read just to compute all_passed would be tens of
+    # thousands of redundant remote round-trips on s3a)
+    prior_recs = manifest.records()
+    done = {
+        r["partition_id"]
+        for r in prior_recs
+        if r.get("status") in ("pass", "fail")
+    }
+    statuses = [r["status"] for r in prior_recs]
+
+    class _Tracking:
+        def record(self, pid, status, metrics, lineage=None):
+            statuses.append(status)
+            manifest.record(pid, status, metrics, lineage)
+
+        def __getattr__(self, k):
+            return getattr(manifest, k)
+
+    tracking = _Tracking()
     todo = sorted(
         (v for v in all_values if partition_id_of(v) not in done),
         key=partition_id_of,
@@ -236,7 +263,7 @@ def validate_partitioned(
     n_proven = 0
     if table_path is not None and todo:
         todo, n_proven = _screen_partitions(
-            df, metadata, partition_col, table_path, todo, manifest, lineage
+            df, metadata, partition_col, table_path, todo, tracking, lineage
         )
 
     n_validated = 0
@@ -261,7 +288,7 @@ def validate_partitioned(
             total = d.pop(TOTAL_ALIAS)
             counters = {k: int(v or 0) for k, v in d.items()}
             valid = all(v == 0 for v in counters.values())
-            manifest.record(
+            tracking.record(
                 pid,
                 "pass" if valid else "fail",
                 {"rows": int(total), "violations": counters},
@@ -270,10 +297,9 @@ def validate_partitioned(
             n_validated += 1
 
     global_results = _run_global_checks(
-        df, metadata, manifest, done, lineage, ref_tables, unique_screen_only
+        df, metadata, tracking, done, lineage, ref_tables, unique_screen_only
     )
 
-    recs = manifest.records()
     return {
         "partitions_total": len(all_values),
         # count skipped PARTITION VALUES only — `done` may also hold the
@@ -283,7 +309,7 @@ def validate_partitioned(
         ),
         "partitions_proven_by_stats": n_proven,
         "partitions_validated": n_validated,
-        "all_passed": all(r["status"] == "pass" for r in recs),
+        "all_passed": all(st == "pass" for st in statuses),
         "manifest_path": manifest.path,
         "global_checks": global_results,
     }

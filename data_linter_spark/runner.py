@@ -88,8 +88,18 @@ def match_files_in_land_to_config(
         raise FileNotFoundError(f"No files found in the path: {land_base_path}")
 
     all_matched: list[str] = []
+
+    # deliberate divergence from the reference (validation.py:173,180):
+    # str.replace strips EVERY occurrence of the base path, so base 'land'
+    # mangles 'land/landing.csv' into 'ing.csv' and a present file fails
+    # matching — strip the leading prefix only (recorded in README
+    # "Recorded divergences")
+    def rel(f: str) -> str:
+        if f.startswith(land_base_path):
+            f = f[len(land_base_path):]
+        return f.lstrip("/")
+
     for table_name, table_params in config["tables"].items():
-        rel = lambda f: f.replace(land_base_path, "").lstrip("/")  # noqa: E731
         if table_params.get("pattern"):
             table_params["matched_files"] = [
                 f for f in land_files
@@ -140,7 +150,7 @@ def validate_data(config: dict, spark: SparkSession) -> list[dict]:
     engine_params = config.get("validator-engine-params", {})
     validator_cls = GET_VALIDATOR[engine]
 
-    tasks: list[tuple[str, dict, Metadata, str]] = []
+    tasks: list[tuple[int, str, dict, Metadata, str]] = []
     for table_name, table_params in config["tables"].items():
         if not table_params.get("matched_files"):
             continue  # divergence (documented): skip, don't abort the run
@@ -148,10 +158,12 @@ def validate_data(config: dict, spark: SparkSession) -> list[dict]:
         metadata = Metadata.from_infer(meta_path)
         metadata.set_col_type_category_from_types()
         for matched_file in table_params["matched_files"]:
-            tasks.append((table_name, table_params, metadata, matched_file))
+            tasks.append(
+                (len(tasks), table_name, table_params, metadata, matched_file)
+            )
 
-    def _run_one(task: tuple[str, dict, Metadata, str]) -> dict:
-        table_name, table_params, metadata, matched_file = task
+    def _run_one(task: tuple[int, str, dict, Metadata, str]) -> dict:
+        idx, table_name, table_params, metadata, matched_file = task
         kwargs = dict(engine_params)
         if validator_cls is SparkValidator:
             kwargs.setdefault("log_verbosity", None)
@@ -175,8 +187,12 @@ def validate_data(config: dict, spark: SparkSession) -> list[dict]:
             # full violation set to a distributed sink (never the
             # driver) — graft replacement for the reference's
             # collect-all log_verbosity==0
+            # the task index disambiguates two matched files sharing a
+            # basename (e.g. a/data.csv and b/data.csv): without it the
+            # second overwrite-mode write silently deletes the first
+            # file's violations (and races under run-parallel)
             stem = os.path.basename(matched_file).split(".", 1)[0]
-            out = os.path.join(viol_base, table_name, stem)
+            out = os.path.join(viol_base, table_name, f"{stem}-{idx}")
             if validator.write_violations(out):
                 rec["violations-path"] = out
         return rec
@@ -199,10 +215,22 @@ def get_out_path(
     timestamp_partition_name: Optional[str] = None,
 ) -> str:
     """{base}/{table}/[{ts_part}={ts}/]{file}-{filenum}-{ts}.{ext}[.gz]
-    (reference utils.py:62-83)."""
-    filename_only, ext = filename.split(".", 1)
-    final_filename = f"{filename_only}-{filenum}-{ts}.{ext}"
-    if compress and not ext.endswith(".gz"):
+    (reference utils.py:62-83).
+
+    Two recorded divergences (README "Recorded divergences"): an
+    extensionless filename is legal (the matcher admits it; the reference's
+    two-value unpack crashes post-validation), and a bare '.gz' extension
+    is recognized as already-compressed ('gz'.endswith('.gz') is False in
+    the reference, so 'data.gz' was archived under a lying '.gz.gz' name
+    while _move_file correctly skips recompression)."""
+    parts = filename.split(".", 1)
+    filename_only = parts[0]
+    ext = parts[1] if len(parts) > 1 else ""
+    final_filename = (
+        f"{filename_only}-{filenum}-{ts}.{ext}" if ext
+        else f"{filename_only}-{filenum}-{ts}"
+    )
+    if compress and not (ext == "gz" or ext.endswith(".gz")):
         final_filename += ".gz"
     if timestamp_partition_name:
         return os.path.join(
@@ -250,8 +278,24 @@ def collect_all_status(
     """
     utc_ts = utc_ts if utc_ts is not None else int(time.time())
     all_must_pass = config.get("all-must-pass", False)
+    # validate the routing paths BEFORE moving anything: the config schema
+    # treats pass/fail-base-path as optional, and discovering a missing one
+    # mid-loop (KeyError/TypeError) would leave the land dir half-routed
+    # with no verdict logs
+    if "pass-base-path" not in config:
+        raise ValueError(
+            "collect_all_status needs 'pass-base-path' in the config to "
+            "route validated files"
+        )
     pass_base_path = config["pass-base-path"]
     fail_base_path = config.get("fail-base-path")
+    if fail_base_path is None and (
+        all_must_pass or any(not r["valid"] for r in all_table_responses)
+    ):
+        raise ValueError(
+            "a table failed validation (or all-must-pass is set) but the "
+            "config has no 'fail-base-path' to route failing files to"
+        )
     log_base_path = config["log-base-path"]
     remove_on_pass = config.get("remove-tables-on-pass")
     compress = config.get("compress-data")

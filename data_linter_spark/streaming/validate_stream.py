@@ -91,7 +91,6 @@ def stream_windowed_verdicts(
     src = df
     if watermark is not None and df.isStreaming:
         src = df.withWatermark(ts_col, watermark)
-    plan.df = src
     groups = [F.window(F.col(ts_col), window_duration)]
     if extra_group_cols:
         groups += [F.col(c) for c in extra_group_cols]
@@ -201,7 +200,11 @@ def stream_duplicate_counts(
     initial state — one "micro-batch" spanning everything — which is how
     tests cross-check stream totals against exact groupBy dedup counts.
     """
-    hashed = df.select(
+    # NULL keys are ignored, matching the batch semantics this operator is
+    # cross-checked against (checks/unique.py filters isNotNull): xxhash64
+    # maps every NULL to the same constant, so without the filter two null
+    # keys would be reported as duplicates of each other
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         .cast("int")
         .alias("__bucket"),

@@ -573,3 +573,56 @@ def test_run_parallel_concurrent_submission(spark, tmp_path):
     assert [r["original-path"] for r in par] == [r["original-path"] for r in seq]
     assert [r["valid"] for r in par] == [r["valid"] for r in seq]
     assert [r["valid"] for r in par] == [True, False, True, False]
+
+
+def test_rel_strips_leading_prefix_only(tmp_path):
+    """Base path 'land' must not mangle 'land/landing.csv' (divergence 6:
+    the reference's str.replace deletes every occurrence)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "landing.csv").write_text("table1_col\n1\n")
+    config = {
+        "land-base-path": str(land),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": {"landing": {"required": True}},
+    }
+    out = match_files_in_land_to_config(dict(config))
+    assert out["tables"]["landing"]["matched_files"] == [
+        str(land / "landing.csv")
+    ]
+
+
+def test_get_out_path_extensionless_and_gz():
+    # extensionless: no crash, no trailing dot (divergence 7)
+    p = get_out_path("/base", "t", 5, "datafile", compress=False)
+    assert p.endswith("/t/datafile-0-5")
+    # bare .gz is already compressed: exactly one .gz in the name
+    p2 = get_out_path("/base", "t", 5, "data.gz", compress=True)
+    assert p2.endswith("/t/data-0-5.gz") and not p2.endswith(".gz.gz")
+    p3 = get_out_path("/base", "t", 5, "data.csv", compress=True)
+    assert p3.endswith("/t/data-0-5.csv.gz")
+
+
+def test_collect_all_status_validates_routing_paths_up_front(tmp_path):
+    """A missing fail-base-path with a failing table must raise BEFORE any
+    file moves (divergence 8), not crash mid-loop."""
+    land = tmp_path / "land"
+    land.mkdir()
+    f = land / "t.csv"
+    f.write_text("a\n1\n")
+    responses = [{
+        "valid": False, "response": {"valid": False},
+        "original-path": str(f), "table-name": "t",
+    }]
+    config = {
+        "pass-base-path": str(tmp_path / "pass"),
+        "log-base-path": str(tmp_path / "log"),
+        "tables": {"t": {}},
+    }
+    with pytest.raises(ValueError, match="fail-base-path"):
+        collect_all_status(dict(config), responses)
+    assert f.exists()  # nothing was moved
+    with pytest.raises(ValueError, match="pass-base-path"):
+        collect_all_status(
+            {"log-base-path": str(tmp_path / "log"), "tables": {}}, responses
+        )
