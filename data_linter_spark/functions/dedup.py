@@ -733,16 +733,36 @@ def embedding_near_dups(
     Scale shape: each vector gets ``bands`` signature keys (8 sign bits per
     band, ONE Arrow-batched numpy matmul producing all bands at once, then
     one posexplode); candidates = id pairs sharing >= 1 (band, key)
-    bucket — the bucket join shuffles only (band, key, id), never vectors or
-    |docs|^2 pairs; exact cosine (vectorized einsum) verifies candidates
-    after re-joining the vectors by id. Identical vectors collide in EVERY
-    band, so recall on exact duplicates is 1.0; a pair at cosine c survives
-    a band w.p. (1 - acos(c)/pi)^8, OR'd over bands. The all-pairs exact
-    variant is :func:`embedding_near_dups_exact` (small-n recall
-    verification only)."""
+    bucket. Identical vectors collide in EVERY band, so recall on exact
+    duplicates is 1.0; a pair at cosine c survives a band w.p.
+    (1 - acos(c)/pi)^8, OR'd over bands. The all-pairs exact variant is
+    :func:`embedding_near_dups_exact` (small-n recall verification only).
+
+    Verification happens INSIDE each bucket (``applyInPandas`` over the
+    (band, key) groups, blocked numpy matmul): only (id, vec) rows ever
+    shuffle — ``bands`` copies of the corpus vectors, linear in the input.
+    The earlier shape (materialize the candidate-PAIR relation, then
+    re-join both vectors onto every pair) shuffled two vectors per
+    candidate pair, which on a CLUSTERED corpus is quadratic in cluster
+    size: tightly clustered vectors agree on every sign bit, so whole
+    clusters collide in every band no matter how many planes a band has
+    (measured at sf1.0: 20.8M candidate pairs from 20.4k vectors = ~21 GB
+    through the pair joins, 95 s; bucket-local verify shuffles 6x64 MB and
+    emits only the ~400 qualifying pairs). The pairwise work itself is the
+    same O(sum bucket_size^2) dot products either way — but as blocked BLAS
+    inside the bucket instead of a shuffle + Arrow transfer per pair.
+    Only pairs >= threshold leave the bucket, so every post-bucket relation
+    is output-sized. A pair colliding in k bands is scored k times;
+    the final groupBy collapses the duplicates (``max`` — the per-band
+    scores are the same dot product up to BLAS summation order, ~1 ulp).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     from data_linter_spark.functions.similarity import (
         _planes,
-        cosine_sim_pd,
         lsh_band_keys_udf,
     )
 
@@ -752,35 +772,65 @@ def embedding_near_dups(
     keys = lsh_band_keys_udf(all_planes, bands, planes_per_band)
     melted = emb.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
         F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
     )
-    # (id, band, key) is tiny; persisting evaluates the signature matmul
-    # once instead of once per self-join side (release via
-    # release_persisted(result) once materialized)
-    persisted = []
-    if cache:
-        from pyspark.storagelevel import StorageLevel
 
-        melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(melted)
-    cands = (
-        melted.alias("l")
-        .join(melted.alias("r"), on=["band", "key"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("x", id_type),
+            StructField("y", id_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    result = (
-        cands.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select(
-            "id_a", "id_b", cosine_sim_pd(F.col("va"), F.col("vb")).alias("cosine")
+    thr = float(min_cosine)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"x": [], "y": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+        xs, ys, cs = [], [], []
+        block = 2048
+        for i0 in range(0, n, block):
+            blk = nrm[i0 : i0 + block]
+            sims = blk @ nrm.T  # (b, n)
+            # strict upper triangle by ROW INDEX (id order canonicalized
+            # in Spark below, so exotic-string collation stays Spark's)
+            rows, cols = np.nonzero(sims >= thr)  # NaN compares false
+            keep = i0 + rows < cols
+            rows, cols = rows[keep], cols[keep]
+            xs.append(ids[i0 + rows])
+            ys.append(ids[cols])
+            cs.append(sims[rows, cols])
+        return pd.DataFrame(
+            {
+                "x": np.concatenate(xs) if xs else [],
+                "y": np.concatenate(ys) if ys else [],
+                "cosine": np.concatenate(cs) if cs else [],
+            }
         )
-        .filter(F.col("cosine") >= F.lit(min_cosine))
+
+    scored = melted.groupBy("band", "key").applyInPandas(
+        bucket_pairs, schema=out_schema
     )
-    return _track_persisted(result, persisted)
+    result = (
+        scored.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least(F.col("x"), F.col("y")).alias("id_a"),
+            F.greatest(F.col("x"), F.col("y")).alias("id_b"),
+            "cosine",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return _track_persisted(result, [])
 
 
 def embedding_near_dups_exact(

@@ -1,0 +1,34 @@
+"""Dump the executed .explain('formatted') plan of registered queries to
+plans/r06/<query>_<tag>.txt. Usage:
+    python tools/dump_plan_r06.py <tag> <sf_dir> <query> [query ...]
+"""
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    tag, sf_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    spark = get_spark(app_name="dump_plan_r06")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        df.collect()  # AQE: final plan only exists after execution
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out = f"plans/r06/{name}_{tag}.txt"
+        with open(out, "w") as f:
+            f.write(buf.getvalue())
+        print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
