@@ -913,12 +913,43 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_labels(edge_rows) -> dict:
+    """Driver-side union-find (path halving + union by min-id) over an
+    edge list, returning {node: component_min_id}. Used only below the
+    ``max_driver_edges`` guard — the dup graph of a lightly-duplicated
+    corpus is orders of magnitude smaller than the corpus itself."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so every root is its component's minimum —
+            # the same representative the star algorithm converges to
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
     manage_aqe: bool = True,
+    max_driver_edges: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph -> ``(id, rep)``
     where ``rep`` is the component's minimum id — the step that turns
@@ -947,6 +978,20 @@ def connected_components(
     Raises ``RuntimeError`` if the edge set has not stabilized after
     ``max_iter`` rounds — silently returning partial labels would hand the
     dedup pipeline WRONG cluster representatives.
+
+    Small-graph fast path: when the measured edge count is at most
+    ``max_driver_edges`` (a driver-sized relation by construction — the
+    same cost-based guard shape as ``apply_dedup``'s broadcast probe), the
+    edges are collected and labeled with a driver union-find instead of
+    the iterative loop. The star loop costs ~6 tiny exchanges + a
+    localCheckpoint materialization PER ROUND, which is pure scheduling
+    latency on a dup graph of a few thousand edges (measured sf1.0: the
+    loop added ~8 s to dedup_clusters on a 3.7k-edge graph; union-find
+    labels it in milliseconds). Representatives are identical: union by
+    min-id yields each component's minimum, exactly the star fixpoint
+    (UTF-8 byte order equals code-point order, so Python min == Spark min
+    for string ids too). ``max_driver_edges=0``/``None`` forces the
+    distributed loop.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -959,6 +1004,21 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_pairs = pairs.count()
+    if max_driver_edges and n_pairs <= max_driver_edges:
+        labels = _union_find_labels(
+            (r["u"], r["v"]) for r in pairs.collect()
+        )
+        id_type = pairs.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("id", id_type), StructField("rep", id_type)]
+        )
+        out = spark.createDataFrame(
+            list(labels.items()), schema=schema
+        ).localCheckpoint(eager=True)
+        pairs.unpersist()
+        return out
     # size the per-round relations from the MEASURED graph: a dup graph is
     # usually tiny relative to the corpus, and at the default shuffle width
     # the per-task overhead of ~32 near-empty partitions x rounds dominates

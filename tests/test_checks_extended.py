@@ -791,10 +791,46 @@ def test_connected_components_long_chain_logarithmic(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels = connected_components(edges, max_iter=12)
+    # max_driver_edges=None pins the DISTRIBUTED star loop (the default
+    # cost guard would route a 999-edge graph to the driver fast path)
+    labels = connected_components(edges, max_iter=12, max_driver_edges=None)
     rows = labels.collect()
     assert len(rows) == n
     assert all(r["rep"] == 0 for r in rows)
+
+
+def test_connected_components_driver_fast_path_matches_distributed(spark):
+    """The small-graph driver union-find must label identically to the
+    distributed star loop — including chain + triangle + isolated-pair
+    shapes and STRING ids (UTF-8 byte order == code-point order, so the
+    min representative agrees across engines)."""
+    from data_linter_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(100 + i, 101 + i) for i in range(50)],
+        "id_a long, id_b long",
+    )
+    fast = {r["id"]: r["rep"] for r in connected_components(edges).collect()}
+    dist = {
+        r["id"]: r["rep"]
+        for r in connected_components(edges, max_driver_edges=None).collect()
+    }
+    assert fast == dist and fast[3] == 1 and fast[150] == 100
+
+    sedges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    fast_s = {r["id"]: r["rep"] for r in connected_components(sedges).collect()}
+    dist_s = {
+        r["id"]: r["rep"]
+        for r in connected_components(sedges, max_driver_edges=None).collect()
+    }
+    assert fast_s == dist_s == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "x": "x", "y": "x",
+    }
 
 
 def test_connected_components_nonconvergence_raises(spark):
@@ -808,7 +844,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, max_driver_edges=None)
 
 
 def test_reconcile_by_column_and_benford(spark):

@@ -221,8 +221,12 @@ def test_connected_components_matches_union_find(spark, edges):
     if not expected:  # all self-loops: no edges survive
         return
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # max_driver_edges=None keeps this property aimed at the DISTRIBUTED
+    # star loop (the driver fast path is itself a union-find; its parity
+    # is covered by test_connected_components_driver_fast_path_...)
     got = {r["id"]: r["rep"]
-           for r in connected_components(df, max_iter=15).collect()}
+           for r in connected_components(
+               df, max_iter=15, max_driver_edges=None).collect()}
     assert got == expected
 
 
