@@ -416,7 +416,11 @@ def top_quality_per_group(
     from pyspark.sql import Window
 
     q = F.round(quality_score(F.col(text_col)), 6)
-    projected = df.select(group_col, id_col, q.alias("quality"))
+    # quality is the expensive map work; a single-file input would
+    # evaluate it one-threaded (see ensure_min_parallelism)
+    projected = ensure_min_parallelism(df).select(
+        group_col, id_col, q.alias("quality")
+    )
     schema = projected.schema
 
     def local_topk(batches: Iterator) -> Iterator:

@@ -90,6 +90,7 @@ TOKENS_QUERY_META = {
 
 
 def q_suite_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens_from_documents splits the one-file scan itself
     df = tokens_from_documents(spark, sf_dir)
     return ConstraintPlan(df, Metadata(TOKENS_QUERY_META)).verdict_df()
 
@@ -151,7 +152,11 @@ def dates_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats (%11), time-component-on-date rows (%7 — midnight rule), empty
     strings (%17, %29 — valid per reference), nulls (%19 — valid), garbage
     datetimes (%23), and 1-digit/"bad" fractions (%31/%37)."""
-    ev = _read(spark, sf_dir, "events")
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
+
+    # events arrives as one file; the ×4 date_format/try_strptime chain
+    # below is the expensive map work — split the scan first
+    ev = ensure_min_parallelism(_read(spark, sf_dir, "events"))
     eid = F.col("event_id")
     ts = F.col("ts")
     iso_d = F.date_format(ts, "yyyy-MM-dd")
@@ -735,10 +740,13 @@ def q_pii_screen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Luhn-VALID card, every 53rd+1 a same-shaped Luhn-INVALID number — the
     ``credit_cards_luhn`` counter must separate them (raw regex counts
     both; the oracle recomputes the checksum independently in DuckDB)."""
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
     from data_linter_spark.functions.text import PII_PATTERNS, pii_screen
 
     k = F.col("doc_id") % PII_CARD_PLANT_EVERY
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
         "doc_id",
         "source",
         F.when(k == 0, F.concat(F.col("text"), F.lit(PII_CARD_VALID)))
@@ -832,13 +840,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     secret key) on every 41st doc, redact, and prove the scrub: the
     planted docs (and only those, modulo natural PII) come back clean
     with their non-PII tail intact."""
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
     from data_linter_spark.functions.text import (
         PII_PATTERNS,
         pii_screen,
         redact_pii,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
         "doc_id",
         F.when(
             F.col("doc_id") % PII_PLANT_EVERY == 0,
@@ -1879,12 +1890,12 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-token-span removal summarized per source. The checksum is
     sum over docs of sum_i tokens[i]*(i+1) AFTER removal, so it pins both
     the surviving token values and their order for every document."""
-    from data_linter_spark.functions.parallel import ensure_min_parallelism
     from data_linter_spark.functions.spans import remove_duplicate_spans
 
     # the sf-dir documents parquet can be a single file: without a split the
-    # whole gram pipeline runs in ONE task (measured 39 s vs 4 s at sf0.1)
-    toks = ensure_min_parallelism(tokens_from_documents(spark, sf_dir))
+    # whole gram pipeline runs in ONE task (measured 39 s vs 4 s at sf0.1);
+    # tokens_from_documents splits the scan itself
+    toks = tokens_from_documents(spark, sf_dir)
     # key="hash" is the production scale path (96-bit keys, no gram-string
     # construction); the DuckDB oracle recomputes with literal content keys,
     # so the checksum ALSO proves the two key modes partition identically

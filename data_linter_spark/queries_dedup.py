@@ -280,7 +280,12 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan (absorbed the r3 ``token_count_by_source`` entry: same
     groupBy, so fusing them halves the scans and frees a slot under the
     driver's 50-query correctness cap)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file documents scan: without the split the ~40 full-string
+    # scans of the quality/stopword expressions run in ONE task
+    # (measured sf1.0: 4.1 s -> 1.5 s with the guard)
+    docs = dd.ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     c = F.col("text")
     n_tok = F.size(F.split(c, " "))
     return docs.groupBy("source").agg(

@@ -47,8 +47,18 @@ tokens_tbl AS (
 
 
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the tokens table from ``{sf_dir}/documents.parquet``."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Derive the tokens table from ``{sf_dir}/documents.parquet``.
+
+    The scan is split to the session's parallelism BEFORE the token
+    projection (a single-file documents parquet would otherwise evaluate
+    the array transform — and every consumer's downstream map work — in
+    one task; the guard is a no-op when the input already has enough
+    files)."""
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         F.expr(_TOKENS_EXPR).alias("tokens"),
