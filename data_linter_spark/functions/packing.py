@@ -579,6 +579,36 @@ def verify_packed_dataset(spark, path: str) -> dict:
     return manifest
 
 
+# "auto" path-selection threshold: the declarative window form sorts one
+# group in ONE task, so it is safe (and much cheaper — no persist, no
+# Arrow pass, no offsets join) only while the hottest group fits a single
+# task comfortably. 5M rows of (group, order, n_tok) is ~100-200 MB of
+# task state — well inside an executor task; beyond that the two-phase
+# form's cliff protection is worth its constant.
+PACK_AUTO_MAX_GROUP_ROWS = 5_000_000
+
+
+def _resolve_skew_safe(
+    df: DataFrame, group_col: str, skew_safe
+) -> bool:
+    """Cost-based packing-path pick (``skew_safe="auto"``): probe the
+    hottest group's row count (one map-side partially-aggregated pass —
+    the shuffle carries one row per group per partition) and take the
+    declarative window form when every group is single-task-sized,
+    keeping the skew-safe two-phase machinery for unknown/hot groups.
+    Booleans pass through untouched, so callers who KNOW their group
+    cardinality pay no probe."""
+    if skew_safe != "auto":
+        return bool(skew_safe)
+    mx = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()[0]
+    )
+    return (mx or 0) > PACK_AUTO_MAX_GROUP_ROWS
+
+
 def pack_sequence_sums(
     df: DataFrame,
     group_col: str,
@@ -594,6 +624,7 @@ def pack_sequence_sums(
     map-side explode over the spanned window range (n_seqs_spanned is tiny
     for real documents), then one groupBy."""
     L = F.lit(context_len).cast("long")
+    skew_safe = _resolve_skew_safe(df, group_col, skew_safe)
     assign = pack_sequences_skew_safe if skew_safe else pack_sequences
     assigned = assign(df, group_col, order_col, n_tok_col, context_len)
     spanned = assigned.filter(F.col(n_tok_col) > 0).select(
@@ -637,6 +668,7 @@ def packing_stats(
     A document straddles a boundary when its first and last token land in
     different windows: floor(start/L) != floor((start + n_tok - 1)/L)."""
     L = F.lit(context_len).cast("long")
+    skew_safe = _resolve_skew_safe(df, group_col, skew_safe)
     assign = pack_sequences_skew_safe if skew_safe else pack_sequences
     assigned = assign(df, group_col, order_col, n_tok_col, context_len)
     flagged = assigned.select(

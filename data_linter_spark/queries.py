@@ -529,8 +529,13 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_linter_spark.functions.packing import packing_stats
 
     toks = tokens_from_documents(spark, sf_dir)
+    # "auto": cost-based path pick — probe the hottest group's row count
+    # and use the declarative window form when every group is single-task-
+    # sized, the two-phase skew-safe form otherwise (identical rows either
+    # way, asserted in tests; the skew-safe path stays driver-gated via
+    # pack_sequences)
     return packing_stats(
-        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN, skew_safe=True
+        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN, skew_safe="auto"
     )
 
 
@@ -622,7 +627,7 @@ def q_pack_sequence_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = tokens_from_documents(spark, sf_dir)
     return pack_sequence_sums(
-        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN, skew_safe=True
+        toks, "source", "doc_id", "n_tok", PACK_CONTEXT_LEN, skew_safe="auto"
     )
 
 

@@ -512,6 +512,43 @@ def test_pack_sequences_skew_safe_matches_declarative(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_packing_auto_path_selection(spark, monkeypatch):
+    """skew_safe="auto" must (a) return rows identical to both explicit
+    forms, (b) route small-group inputs to the declarative window form
+    (no MapInPandas / range exchange in the plan), and (c) route to the
+    two-phase form when a group tops the threshold."""
+    from data_linter_spark.functions import packing as pk
+
+    rows = [("a", f"d{i:04d}", i % 13) for i in range(300)]
+    rows += [("b", f"d{i:04d}", i % 7) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "src string, doc_id string, n_tok int"
+    ).repartition(8)
+
+    explicit = pk.packing_stats(
+        df, "src", "doc_id", "n_tok", 64, skew_safe=True
+    )
+    auto = pk.packing_stats(df, "src", "doc_id", "n_tok", 64, skew_safe="auto")
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, auto.collect())
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # declarative path taken
+
+    monkeypatch.setattr(pk, "PACK_AUTO_MAX_GROUP_ROWS", 100)
+    hot = pk.pack_sequence_sums(
+        df, "src", "doc_id", "n_tok", 64, skew_safe="auto"
+    )
+    ref = pk.pack_sequence_sums(
+        df, "src", "doc_id", "n_tok", 64, skew_safe=True
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, hot.collect())
+    )
+    plan_hot = hot._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_hot  # 300-row group > patched threshold
+
+
 def test_pack_sequences_skew_safe_null_and_zero_tokens(spark):
     """Zero-token docs and a group whose rows interleave across batches
     keep exact parity with the declarative form."""
