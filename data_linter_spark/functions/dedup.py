@@ -114,25 +114,60 @@ def word_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Per-document DISTINCT shingle set as an array column:
-    ``(id, shingles array<string>)``. ENTIRELY map-side
-    (``array_distinct`` dedupes within the row — the earlier global
-    ``.distinct()`` was a full shuffle of every (id, shingle) pair). The
-    Jaccard verify consumes this relation directly via array_intersect.
-    Input is split to the session's parallelism first (see
-    :func:`ensure_min_parallelism`) — shingling is the CPU-heaviest
-    map-side expression in the engine."""
+    ``(id, shingles array<string>)``. ENTIRELY map-side (the per-row
+    dedup replaces the earlier global ``.distinct()``, which was a full
+    shuffle of every (id, shingle) pair). The Jaccard verify consumes
+    this relation directly via array_intersect. Input is split to the
+    session's parallelism first (see :func:`ensure_min_parallelism`) —
+    shingling is the CPU-heaviest map-side work in the engine.
+
+    Generation runs in an Arrow-batched ``mapInPandas`` pass: Spark
+    evaluates higher-order lambdas INTERPRETED (no whole-stage codegen
+    for ``transform``), so the expression form — per window, n
+    ``element_at`` calls plus a ``concat_ws`` plus ``array_distinct`` —
+    measured 6.0 s at sf1.0 against 2.4 s for the Python splitter
+    (byte-identical output on the full corpus: Python ``str.split(' ')``
+    and Java ``Pattern.split`` with limit -1 agree on empty tokens from
+    leading/consecutive/trailing spaces, and ``dict.fromkeys`` preserves
+    ``array_distinct``'s first-occurrence order). Docs with fewer than
+    ``n`` words (or null text) contribute no row, as before. Only the
+    two needed columns cross the Arrow boundary."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
     df = ensure_min_parallelism(df)
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    proj = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    schema = StructType(
+        [proj.schema["id"], StructField("shingles", ArrayType(StringType()))]
     )
-    return df.filter(F.size(words) >= n).select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("shingles")
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for i, txt in zip(pdf["id"], pdf["__t"]):
+                if txt is None:
+                    continue
+                w = txt.split(" ")
+                m = len(w) - n + 1
+                if m <= 0:
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(w[j : j + n]) for j in range(m)
+                )
+                ids.append(i)
+                outs.append(list(seen))
+            # object dtype throughout: an empty batch's default float64
+            # columns cannot Arrow-cast to list<string>
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=object),
+                    "shingles": pd.Series(outs, dtype=object),
+                }
+            )
+
+    return proj.mapInPandas(gen, schema=schema)
 
 
 def word_shingles(
