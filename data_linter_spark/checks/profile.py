@@ -34,23 +34,32 @@ def numeric_profile(
     ANSI engines for the oracle)."""
     df = ensure_min_parallelism(df)  # EXPAND for multi-distinct amplifies
     # rows BEFORE partial agg; a single-file scan would run it one-threaded
+    #
+    # The exact-distinct counts run in their OWN aggregation pass: Spark's
+    # multi-DISTINCT plan expands every input row once per distinct column
+    # set, and when the exact-percentile buffers sit in the same aggregate
+    # they are fed the EXPANDED stream — measured sf1.0 (1M events, 3
+    # cols): 16.4 s fused at input parallelism, 5.0 s fused after the
+    # split-scan guard, 4.6 s with distinct separated. The two one-row
+    # results recombine with a free 1x1 cross join.
     aggs = [F.count(F.lit(1)).alias("__n")]
+    dist_aggs = []
     for c in cols:
         col = F.col(c).cast("double")
         distinct = (
             F.countDistinct(col) if exact_distinct
             else F.approx_count_distinct(col)
         )
+        dist_aggs.append(distinct.alias(f"__dist__{c}"))
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls__{c}"),
-            distinct.alias(f"__dist__{c}"),
             F.min(col).alias(f"__min__{c}"),
             F.max(col).alias(f"__max__{c}"),
             F.avg(col).alias(f"__mean__{c}"),
             F.stddev_samp(col).alias(f"__std__{c}"),
             F.percentile(col, F.lit(0.5)).alias(f"__med__{c}"),
         ]
-    row = df.agg(*aggs)
+    row = df.agg(*aggs).crossJoin(df.agg(*dist_aggs))
     n = F.col("__n").cast("long")
     entries = [
         F.struct(
