@@ -123,7 +123,11 @@ CHECKS = {
         "full_outer": lambda p: "FullOuter" in p,
     },
     "profile_events": {
-        "single_scan": lambda p: n_scans(p) == 1,
+        # r6: the exact-distinct counts run in a SECOND aggregation pass
+        # (the multi-DISTINCT Expand otherwise feeds the exact-percentile
+        # buffers an expanded stream — measured 16.4 s vs 4.6 s at sf1.0),
+        # recombined by a 1x1 cross join; two scans by design, no more
+        "two_pass_split": lambda p: n_scans(p) == 2,
         "prunes_props": lambda p: "props" not in p,
     },
     "pack_sequences": {
@@ -140,9 +144,15 @@ CHECKS = {
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
     "pack_sequence_sums": {
-        "range_exchange": lambda p: "rangepartitioning" in p.lower(),
-        "arrow_local_cumsum": lambda p: "MapInPandas" in p,
-        "pinned_ranged_cache": lambda p: "InMemoryTableScan" in p,
+        # r6: skew_safe="auto" — at bench scale the group-size probe
+        # routes to the DECLARATIVE window form (no Arrow pass, no range
+        # exchange, no pinned cache); the skew-safe two-phase shape stays
+        # asserted on pack_sequences, which pins skew_safe=True. A
+        # per-group single-task window is exactly what "auto" chose, so
+        # here it is the EXPECTED shape, not a scale smell.
+        "auto_declarative_route": lambda p: "MapInPandas" not in p
+        and "InMemoryTableScan" not in p,
+        "group_window": lambda p: "Window" in p,
         "prunes_text": lambda p: "text" not in p and "lang" not in p,
     },
     "repetition_signals": {
