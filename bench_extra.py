@@ -1,0 +1,259 @@
+"""Stage-isolation benchmarks for the r6 optimization round (guide §1.4).
+
+NOT part of the driver contract — ``bench.py`` is the frozen measurement;
+this file reproduces the per-stage numbers cited in OPTIMIZATION_r06.md
+with the noop sink so the computation is timed, not the collect.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [probe ...]
+
+Probes (default: all):
+    shingles   — JVM higher-order-lambda shingling vs the Arrow generator
+    embedding  — LSH bucket-local verify vs the pair-join verify shape
+    packing    — declarative vs two-phase vs auto packing_stats
+    profile    — fused vs distinct-split numeric profile aggregation
+    ngram      — candidate-pair volume with/without the size-ratio filter
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_linter_spark.session import get_spark  # noqa: E402
+
+
+def best_of(label: str, thunk, trials: int = 3) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    print(f"  {label}: {best:.2f}s", flush=True)
+    return round(best, 3)
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probe_shingles(spark, sf_dir, out):
+    """JVM transform/element_at/concat_ws shingling vs the Arrow pass
+    (functions/dedup.word_shingle_sets). Spark evaluates higher-order
+    lambdas interpreted — no whole-stage codegen."""
+    from data_linter_spark.functions.dedup import word_shingle_sets
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
+    from data_linter_spark.queries_dedup import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    spark.sparkContext.setJobDescription("bench_extra: shingles JVM form")
+
+    def jvm_sets(df, id_col, text_col, n=3):
+        df = ensure_min_parallelism(df)
+        words = F.split(F.col(text_col), " ")
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        shingles = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+        return df.filter(F.size(words) >= n).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles).alias("shingles"),
+        )
+
+    out["shingles_jvm_lambda"] = best_of(
+        "JVM lambda shingle sets (noop)",
+        lambda: noop(jvm_sets(corpus, "doc_id", "text")),
+    )
+    spark.sparkContext.setJobDescription("bench_extra: shingles Arrow form")
+    out["shingles_arrow"] = best_of(
+        "Arrow shingle sets (noop)",
+        lambda: noop(word_shingle_sets(corpus, "doc_id", "text")),
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def probe_embedding(spark, sf_dir, out):
+    """Current bucket-local verify vs the r5 candidate-pair-join shape."""
+    from data_linter_spark.functions.dedup import embedding_near_dups
+    from data_linter_spark.functions.similarity import (
+        _planes,
+        cosine_sim_pd,
+        lsh_band_keys_udf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+
+    def pair_join_shape():
+        dim = corpus.select(F.size(F.col("embedding"))).first()[0]
+        keys = lsh_band_keys_udf(_planes(dim, 48), 6, 8)
+        melted = corpus.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(keys(F.col("embedding"))).alias("band", "key"),
+        ).persist()
+        cands = (
+            melted.alias("l")
+            .join(melted.alias("r"), on=["band", "key"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        va = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        vb = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        res = (
+            cands.join(va, on="id_a")
+            .join(vb, on="id_b")
+            .select("id_a", "id_b", cosine_sim_pd(F.col("va"), F.col("vb")).alias("cosine"))
+            .filter(F.col("cosine") >= 0.99)
+        )
+        noop(res)
+        melted.unpersist()
+
+    spark.sparkContext.setJobDescription("bench_extra: embedding pair-join shape")
+    out["embedding_pair_join_shape"] = best_of(
+        "pair-join verify (r5 shape, noop)", pair_join_shape, trials=1
+    )
+    spark.sparkContext.setJobDescription("bench_extra: embedding bucket-local")
+    out["embedding_bucket_local"] = best_of(
+        "bucket-local verify (r6, noop)",
+        lambda: noop(
+            embedding_near_dups(corpus, "vec_id", "embedding", 0.99)
+        ),
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def probe_packing(spark, sf_dir, out):
+    from data_linter_spark.functions.packing import packing_stats
+    from data_linter_spark.tokens import tokens_from_documents
+
+    for mode, name in ((True, "two_phase"), (False, "declarative"), ("auto", "auto")):
+        spark.sparkContext.setJobDescription(f"bench_extra: packing {name}")
+        out[f"packing_stats_{name}"] = best_of(
+            f"packing_stats skew_safe={mode}",
+            lambda m=mode: packing_stats(
+                tokens_from_documents(spark, sf_dir),
+                "source", "doc_id", "n_tok", 2048, skew_safe=m,
+            ).collect(),
+        )
+    spark.sparkContext.setJobDescription(None)
+
+
+def probe_profile(spark, sf_dir, out):
+    from data_linter_spark.functions.parallel import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    cols = ["event_id", "user_id", "value"]
+
+    def aggs(with_distinct: bool):
+        a = [F.count(F.lit(1)).alias("n")]
+        for c in cols:
+            col = F.col(c).cast("double")
+            a += [
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"nl_{c}"),
+                F.min(col), F.max(col), F.avg(col), F.stddev_samp(col),
+                F.percentile(col, F.lit(0.5)),
+            ]
+            if with_distinct:
+                a.append(F.countDistinct(col))
+        return a
+
+    spark.sparkContext.setJobDescription("bench_extra: profile fused")
+    out["profile_fused"] = best_of(
+        "fused distinct+percentile agg",
+        lambda: ev.agg(*aggs(True)).collect(),
+    )
+    spark.sparkContext.setJobDescription("bench_extra: profile split")
+    out["profile_split"] = best_of(
+        "split (percentile agg x distinct agg)",
+        lambda: ev.agg(*aggs(False))
+        .crossJoin(ev.agg(*[F.countDistinct(F.col(c).cast("double")) for c in cols]))
+        .collect(),
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def probe_ngram(spark, sf_dir, out):
+    """Candidate-pair volume with and without the size-ratio prefilter."""
+    from pyspark.storagelevel import StorageLevel
+
+    from data_linter_spark.functions.dedup import word_shingle_sets
+    from data_linter_spark.queries_dedup import (
+        MIN_JACCARD,
+        NGRAM_MAX_SHINGLE_DF,
+        _corpus,
+    )
+
+    sets = word_shingle_sets(_corpus(spark, sf_dir), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sets.count()
+    sh = sets.select(
+        "id", F.size("shingles").alias("__sz"), F.explode("shingles").alias("shingle")
+    )
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > NGRAM_MAX_SHINGLE_DF).select("shingle")
+    )
+    cand = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    left = cand.select(F.col("id").alias("id_a"), F.col("__sz").alias("__sza"), "shingle")
+    right = cand.select(F.col("id").alias("id_b"), F.col("__sz").alias("__szb"), "shingle")
+    raw = left.join(right, on="shingle").filter(F.col("id_a") < F.col("id_b"))
+    size_ok = F.least("__sza", "__szb") >= (
+        F.lit(MIN_JACCARD) * F.greatest("__sza", "__szb") - F.lit(1e-9)
+    )
+    spark.sparkContext.setJobDescription("bench_extra: ngram pair volume")
+    out["ngram_pair_rows_unfiltered"] = raw.count()
+    out["ngram_pair_rows_size_filtered"] = raw.filter(size_ok).count()
+    print(
+        f"  pair rows: {out['ngram_pair_rows_unfiltered']:,} -> "
+        f"{out['ngram_pair_rows_size_filtered']:,} with size filter"
+    )
+    sets.unpersist()
+    spark.sparkContext.setJobDescription(None)
+
+
+PROBES = {
+    "shingles": probe_shingles,
+    "embedding": probe_embedding,
+    "packing": probe_packing,
+    "profile": probe_profile,
+    "ngram": probe_ngram,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="data_linter_spark_bench_extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    wanted = sys.argv[1:] or list(PROBES)
+    out: dict = {"sf_dir": sf_dir, "cpus": int(cpus)}
+    for name in wanted:
+        print(f"probe: {name}", flush=True)
+        PROBES[name](spark, sf_dir, out)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
