@@ -856,7 +856,10 @@ def embedding_near_dups(
         with np.errstate(divide="ignore", invalid="ignore"):
             nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
         xs, ys, cs = [], [], []
-        block = 2048
+        # block height sized so the (block, n) sims buffer stays ~64 MB
+        # whatever the bucket width — a fixed 2048 would allocate
+        # block*n*8 bytes (3.2 GB at a 200k-vector bucket)
+        block = max(16, min(2048, (64 << 20) // (8 * n)))
         for i0 in range(0, n, block):
             blk = nrm[i0 : i0 + block]
             sims = blk @ nrm.T  # (b, n)
