@@ -344,16 +344,19 @@ def ngram_jaccard_pairs(
     minhash_near_dups (the primary scale path) still catches. ``None``
     disables the cap (oracle-verification mode)."""
     sets = word_shingle_sets(df, id_col, text_col, n)
+    n_docs = None
     if cache:
         # shingle GENERATION (split + n-gram transform) is the expensive
         # map work and this DAG uses the relation 4x (hot count, join
         # left/right, verify); persist evaluates it once — the standard
         # materialize-the-feature-relation step of a dedup pipeline (at
         # extreme scale: checkpoint to a table instead; MEMORY_AND_DISK
-        # spills rather than OOMs meanwhile)
+        # spills rather than OOMs meanwhile). The count materializes the
+        # cache now AND feeds the doc-stats broadcast guard below.
         from pyspark.storagelevel import StorageLevel
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        n_docs = sets.count()
     # __sz rides along from the same projection as the explode (map-side,
     # no join) so the pair join below can apply the size filter inline
     sh = sets.select(
@@ -430,6 +433,19 @@ def ngram_jaccard_pairs(
     )
     inter_ub = F.col("__ci") + F.least(F.col("__hot_a"), F.col("__hot_b"))
     j_ub = inter_ub / (F.col("__sz_a") + F.col("__sz_b") - inter_ub)
+    # doc_stats derives from the big shingle relation, so Catalyst's size
+    # ESTIMATE for it is huge and the prune joins plan as sort-merge —
+    # shuffling the (tens-of-millions-row) pair relation twice more, by
+    # id_a and by id_b, just to attach two ints per side (AQE converts to
+    # broadcast only after the probe side's shuffle maps already ran).
+    # doc_stats is one fixed-width row per DOCUMENT; below the measured
+    # guard (5M docs ≈ 150 MB of keys+ints, comfortably under the 8 GB
+    # broadcast ceiling) hint it broadcast so the prune stays map-side
+    # (measured sf1.0: the two joins cost ~9 s as SMJ, ~0 broadcast).
+    # Above the guard — or without the persisted-count probe — keep the
+    # planner's shuffle join, the correct big-big shape.
+    if n_docs is not None and n_docs <= 5_000_000:
+        a_stats, b_stats = F.broadcast(a_stats), F.broadcast(b_stats)
     cands = (
         cand_pairs.join(a_stats, on="id_a")
         .join(b_stats, on="id_b")
