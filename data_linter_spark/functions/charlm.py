@@ -92,6 +92,14 @@ def train_char_lm(
     v = counts.select(
         F.countDistinct(F.substring("gram", n, 1)).alias("v")
     ).first()["v"]
+    if not v:
+        # empty reference corpus / every doc shorter than n: surface a
+        # clear error instead of the opaque float(None) TypeError below
+        # (r5 ADVICE)
+        raise ValueError(
+            "train_char_lm: reference corpus produced no n-grams; "
+            f"check text_col={text_col!r} and n={n}"
+        )
     ctx = counts.groupBy(
         F.substring("gram", 1, n - 1).alias("ctx")
     ).agg(F.sum("c").alias("ctx_c"))
@@ -124,10 +132,16 @@ def charlm_score(
     the low-to-middle buckets).
 
     Grams absent from the model score ``unseen_logp`` (default
-    ``-ln(1e6)`` ≈ -13.8 — a deterministic floor well below any smoothed
-    seen-gram mass; pass the train-side ``ln(k / (k*V))`` for a tighter
-    theoretical value). Documents with no grams (shorter than ``n``)
-    return NULL avg_logp/ppl rather than a fake score.
+    ``-ln(1e6)`` ≈ -13.8, a deterministic constant). NOTE (r5 ADVICE):
+    on a very large reference corpus a RARE seen gram in a hot context
+    can score ``ln(k/(ctx_c + kV))`` below -13.8, i.e. the constant
+    default is NOT guaranteed below all seen-gram mass and can mildly
+    compress the ranking between unseen and ultra-rare grams. For a
+    guaranteed-below floor derive it from the trained model — e.g.
+    ``lm.agg(F.min("logp")).first()[0] - margin`` or the theoretical
+    ``ln(k / (max_ctx_c + k*V))`` — and pass it as ``unseen_logp``.
+    Documents with no grams (shorter than ``n``) return NULL
+    avg_logp/ppl rather than a fake score.
 
     Plan: map-side explode fused into the scan → broadcast LEFT join
     against the (broadcast-sized) model → one partially-aggregated

@@ -216,10 +216,17 @@ def with_registrable_domain(
     )
     n = F.size("__dls_labels")
     take = F.least(n, F.col("__dls_base"))
+    # NULL url -> NULL host would otherwise yield a NULL domain, which is
+    # neither == '' nor != '' under three-valued logic — domain_cap's two
+    # branches would BOTH drop the row and the blocklist's isin form would
+    # reject it while the DataFrame form kept it (r5 ADVICE). Coalesce to
+    # '' so no-host rows (null or junk alike) uniformly take the
+    # documented passthrough contract.
     return s.select(
         *keep,
-        F.array_join(
-            F.slice("__dls_labels", n - take + 1, take), "."
+        F.coalesce(
+            F.array_join(F.slice("__dls_labels", n - take + 1, take), "."),
+            F.lit(""),
         ).alias(out_col),
     )
 

@@ -543,7 +543,13 @@ def _run_global_checks(
         )
     for d in deps:
         row = fd_violations(df, d["determinant"], d["dependent"]).collect()[0]
-        results[f"{d['determinant']}.functional_dependency_test"] = {
+        # keyed by (determinant, dependent): two dependencies sharing a
+        # determinant must not overwrite each other (a failing first FD
+        # could be masked by a passing second — r5 ADVICE; mirrors the
+        # validator.py fix)
+        results[
+            f"{d['determinant']}->{d['dependent']}.functional_dependency_test"
+        ] = {
             "valid": row["violating_keys"] == 0,
             "test_inputs": dict(d),
             "violating_keys": int(row["violating_keys"]),

@@ -175,3 +175,16 @@ def test_charlm_score_plan_broadcasts_model(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_train_char_lm_empty_corpus_raises(spark):
+    """r5 ADVICE: an empty reference corpus (or one where every doc is
+    shorter than n) must raise a clear ValueError, not an opaque
+    TypeError from float(None)."""
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no n-grams"):
+        train_char_lm(empty, "text", n=3, smoothing_k=K)
+    short = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no n-grams"):
+        train_char_lm(short, "text", n=5, smoothing_k=K)

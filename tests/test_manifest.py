@@ -423,3 +423,37 @@ def test_stats_fast_path_partition_col_constraint_from_value(spark, tmp_path):
     assert recs["3"]["status"] == "fail"
     assert recs["3"]["metrics"]["violations"]["__viol__src__min_max_test"] == 25
     assert recs["3"]["metrics"]["proven_by_parquet_stats"] is True
+
+
+def test_global_fd_checks_keyed_by_determinant_and_dependent(spark, tmp_path):
+    """r5 ADVICE: two dependencies sharing a determinant must not
+    overwrite each other in the global-checks results — a failing first
+    FD used to be masked by a passing second under the det-only key."""
+    from data_linter_spark.manifest import PartitionManifest, validate_partitioned
+    from data_linter_spark.metadata import Metadata
+
+    # det -> bad is VIOLATED (det=1 maps to two bad values);
+    # det -> good holds everywhere.
+    df = spark.createDataFrame(
+        [("p1", 1, 10, 5), ("p1", 1, 11, 5), ("p2", 2, 20, 7)],
+        "src string, det long, bad long, good long",
+    )
+    meta = Metadata({
+        "name": "t", "file_format": "parquet",
+        "columns": [
+            {"name": "src", "type": "string"},
+            {"name": "det", "type": "int64"},
+            {"name": "bad", "type": "int64"},
+            {"name": "good", "type": "int64"},
+        ],
+        "dependencies": [
+            {"determinant": "det", "dependent": "bad"},
+            {"determinant": "det", "dependent": "good"},
+        ],
+    })
+    m = PartitionManifest(str(tmp_path / "mfd"))
+    s = validate_partitioned(spark, df, meta, "src", m)
+    g = s["global_checks"]
+    assert g["det->bad.functional_dependency_test"]["valid"] is False
+    assert g["det->good.functional_dependency_test"]["valid"] is True
+    assert s["all_passed"] is False  # the failing FD is not masked

@@ -313,6 +313,51 @@ def test_domain_cap_quality_rank_and_plan(spark):
     assert plan.count("MapInPandas") >= 1
 
 
+def test_null_url_rows_survive_cap_and_blocklist(spark):
+    """r5 ADVICE: a NULL url used to yield a NULL registrable domain,
+    which fell through BOTH domain_cap branches (domain != '' and
+    domain == '' are each NULL) and was rejected by the sequence-form
+    blocklist's isin while the DataFrame form kept it. With the domain
+    coalesced to '', NULL-url rows uniformly take the documented
+    passthrough contract: kept by the cap (NULL rank) and by both
+    blocklist forms."""
+    from data_linter_spark.functions.urls import (
+        domain_blocklist_filter,
+        domain_cap,
+        with_registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.example.com/x"),
+            (1, None),
+            (2, "not a url at all"),
+            (3, "https://b.example.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    dom = {r["doc_id"]: r["d"]
+           for r in with_registrable_domain(df, "url", "d").collect()}
+    assert dom[1] == "" and dom[2] == ""  # no-host rows map to ''
+
+    # docs 0 and 3 share registrable domain example.com -> k=1 keeps doc 0;
+    # the NULL-url and junk-url rows pass through UNCAPPED
+    capped_ids = {r["doc_id"] for r in domain_cap(df, k=1).collect()}
+    assert capped_ids == {0, 1, 2}
+
+    seq_ids = {r["doc_id"]
+               for r in domain_blocklist_filter(df, ["blocked.com"]).collect()}
+    bdf = spark.createDataFrame([("blocked.com",)], "domain string")
+    df_ids = {r["doc_id"]
+              for r in domain_blocklist_filter(df, bdf).collect()}
+    assert seq_ids == df_ids == {0, 1, 2, 3}  # both forms keep all rows
+    blocked_ids = {
+        r["doc_id"]
+        for r in domain_blocklist_filter(df, ["example.com"]).collect()
+    }
+    assert blocked_ids == {1, 2}  # real domains blocked, no-host rows kept
+
+
 def test_domain_blocklist_filter(spark):
     df = _spark_urls(spark, SOURCE_URL_SQL)
     sources = [r[0] for r in df.select("source").distinct().collect()]
