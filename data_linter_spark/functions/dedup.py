@@ -45,7 +45,15 @@ def _track_persisted(result: DataFrame, relations: list) -> DataFrame:
     a long-lived session can release their executor storage once the result
     is materialized (``release_persisted``). Without this, repeated dedup
     calls accumulate cached shingle/fingerprint/signature relations until
-    memory/disk pressure evicts them the hard way."""
+    memory/disk pressure evicts them the hard way.
+
+    Deliberately NOT auto-released on result GC (attempted r6, reverted):
+    for the skew-safe packing family the persisted ranged relation is a
+    CORRECTNESS pin — RangePartitioner samples bounds per execution, so
+    unpersisting while a derived plan is still live makes its two
+    branches re-execute the range exchange with different bounds and the
+    joined offsets come out garbage. Only the caller knows when the last
+    consumer is done; release stays explicit via ``release_persisted``."""
     result._dls_persisted = list(relations)
     return result
 
